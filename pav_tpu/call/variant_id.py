@@ -1,0 +1,74 @@
+"""Variant ID construction and versioning (svpoplib.variant equivalents;
+call sites: pavlib/cigarcall.py:318, pavlib/call.py:25-96)."""
+
+import numpy as np
+import pandas as pd
+
+
+def version_id(id_series, existing_id_set=None):
+    """De-duplicate variant IDs by appending ".1", ".2", ... to repeats.
+
+    The first occurrence keeps the bare ID (unless it collides with
+    existing_id_set); later occurrences get the lowest free version.
+    """
+    existing = set(existing_id_set) if existing_id_set else set()
+    next_version = {}
+    out = []
+    for vid in id_series:
+        if vid not in next_version and vid not in existing:
+            next_version[vid] = 1
+            out.append(vid)
+            continue
+        n = next_version.get(vid, 1)
+        new_id = f'{vid}.{n}'
+        while new_id in existing or new_id in next_version:
+            n += 1
+            new_id = f'{vid}.{n}'
+        next_version[vid] = n + 1
+        next_version[new_id] = 1
+        out.append(new_id)
+    if isinstance(id_series, pd.Series):
+        return pd.Series(out, index=id_series.index)
+    return out
+
+
+def get_variant_id(df, apply_version=True):
+    """Construct IDs from table fields: CHROM-POS1-SVTYPE-{SVLEN | REF+ALT for SNV}."""
+    ids = []
+    for _, row in df.iterrows():
+        if row['SVTYPE'] == 'SNV':
+            ids.append(f"{row['#CHROM']}-{row['POS'] + 1}-SNV-{str(row['REF']).upper()}{str(row['ALT']).upper()}")
+        else:
+            ids.append(f"{row['#CHROM']}-{row['POS'] + 1}-{row['SVTYPE']}-{row['SVLEN']}")
+    ids = pd.Series(ids, index=df.index)
+    return version_id(ids) if apply_version else ids
+
+
+def version_variant_bed_id(df, re_version=False):
+    """Re-version IDs in a call table, PASS records first
+    (reference: pavlib/call.py:25-96)."""
+    work = pd.DataFrame(index=df.index)
+    work['ID'] = df['ID'] if 'ID' in df.columns else get_variant_id(df, apply_version=False)
+    work['FILTER'] = df['FILTER'] if 'FILTER' in df.columns else 'PASS'
+    work['QRY_REGION'] = df['QRY_REGION'] if 'QRY_REGION' in df.columns else 'chrUn:0-0'
+
+    if re_version:
+        work['ID'] = work['ID'].apply(lambda val: val.rsplit('.', 1)[0])
+
+    work = work.reset_index(names='_orig')
+    work['FILTER'] = work['FILTER'].fillna('').apply(lambda v: ('a' if v == 'PASS' else 'b') + str(v))
+    qry = work['QRY_REGION'].astype(str).str.extract(r'^([^:]+):(\d+)-')
+    work['QRY_ID'] = qry[0]
+    work['QRY_POS'] = pd.to_numeric(qry[1], errors='coerce').fillna(0).astype(int)
+
+    work = work.sort_values(['ID', 'FILTER', 'QRY_ID', 'QRY_POS'], kind='stable')
+
+    is_pass = work['FILTER'] == 'aPASS'
+    work.loc[is_pass, 'ID'] = version_id(work.loc[is_pass, 'ID'])
+    work.loc[~is_pass, 'ID'] = version_id(
+        work.loc[~is_pass, 'ID'], existing_id_set=set(work.loc[is_pass, 'ID']))
+
+    work = work.sort_index()
+    out = work['ID']
+    out.index = df.index
+    return out

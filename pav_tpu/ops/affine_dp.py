@@ -1,0 +1,293 @@
+"""Batched banded global alignment with two-piece affine gaps (device kernel).
+
+The base-level workhorse of the native aligner: all inter-anchor gap segments
+from every chain are bucketed by size, padded to static shapes, and aligned in
+one vmapped lax.scan per bucket — rows advance sequentially, the banded window
+slides along a per-problem center line, and the horizontal (F) dependency is
+resolved with an exact prefix-max scan, so each row is fully data-parallel
+across the band (VPU lanes) and the batch.
+
+Scoring follows the reference's minimap2 parameterization (match 1, mismatch
+-5, gaps min(5+4g, 56+g): rules/align.snakefile:188). Traceback decisions are
+packed one byte per cell and walked on the host.
+
+Traceback byte layout (bit set ⇒):
+  0: Htilde chose E (diagonal otherwise)
+  1: H chose F (overrides bit 0)
+  2: E piece-2 strictly better than piece-1
+  3: F piece-2 strictly better than piece-1
+  4: E1 extended (came from E1 above, not opened from H above)
+  5: E2 extended
+  6: F1 opened at the immediate left cell (gap length 1 from there)
+  7: F2 opened at the immediate left cell
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(1 << 29))
+
+DEFAULT_SCORING = {
+    'match': 1, 'mismatch': -5,
+    'gap_open': (5, 56), 'gap_ext': (4, 1),
+}
+
+
+def gap_cost(g, scoring=DEFAULT_SCORING):
+    """Two-piece affine gap cost (positive number)."""
+    o1, o2 = scoring['gap_open']
+    e1, e2 = scoring['gap_ext']
+    return np.minimum(o1 + g * e1, o2 + g * e2)
+
+
+@functools.partial(jax.jit, static_argnames=('max_m', 'width', 'match', 'mismatch',
+                                             'o1', 'o2', 'e1', 'e2'))
+def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
+    """q: [B, max_m] int8 (padded), r: [B, max_n] int8, m/n: [B] int32 lengths.
+
+    Returns (score [B] int32, tb [B, max_m, width] uint8, offsets [B, max_m] int32).
+    Row i of tb corresponds to DP row i+1 (query base i).
+    """
+    w_idx = jnp.arange(width, dtype=jnp.int32)
+
+    def one(qi, ri, mi, ni):
+        max_off = jnp.maximum(ni + 1 - width, 0)
+
+        def row_offset(i):
+            center = jnp.where(mi > 0, (i * ni) // jnp.maximum(mi, 1), 0)
+            return jnp.clip(center - width // 2, 0, max_off)
+
+        # Row 0: H[0][j] = -gapcost(j), E = -inf, at offset row_offset(0)=0.
+        j0 = w_idx
+        h0 = jnp.where(
+            j0 == 0, 0,
+            -jnp.minimum(o1 + j0 * e1, o2 + j0 * e2)).astype(jnp.int32)
+        h0 = jnp.where(j0 <= ni, h0, NEG)
+        e10 = jnp.full(width, NEG, dtype=jnp.int32)
+        e20 = jnp.full(width, NEG, dtype=jnp.int32)
+
+        def step(carry, i):
+            h_prev, e1_prev, e2_prev, off_prev = carry
+            off = row_offset(i)
+            s = off - off_prev
+            j_glob = off + w_idx
+            valid = (j_glob <= ni) & (i <= mi)
+
+            # Align previous-row windows to this row's offset.
+            def shift(a, k):
+                return jnp.where(
+                    (w_idx + k >= 0) & (w_idx + k < width),
+                    jnp.roll(a, -k), NEG)
+
+            # Row 0 is analytic (H[0][j] = -gapcost(j)), so leading deletions are
+            # scored exactly even when row 1's window starts past column 0.
+            def row0_at(j):
+                v = jnp.where(j == 0, 0,
+                              -jnp.minimum(o1 + j * e1, o2 + j * e2)).astype(jnp.int32)
+                return jnp.where((j >= 0) & (j <= ni), v, NEG)
+
+            h_up = jnp.where(i == 1, row0_at(j_glob), shift(h_prev, s))        # H[i-1][j]
+            e1_up = jnp.where(i == 1, NEG, shift(e1_prev, s))
+            e2_up = jnp.where(i == 1, NEG, shift(e2_prev, s))
+            h_diag = jnp.where(i == 1, row0_at(j_glob - 1), shift(h_prev, s - 1))  # H[i-1][j-1]
+
+            # Vertical (query-consuming, 'I') gap states.
+            e1_open = h_up - (o1 + e1)
+            e1_ext = e1_up - e1
+            e1_new = jnp.maximum(e1_open, e1_ext)
+            bit_e1_ext = e1_ext > e1_open
+
+            e2_open = h_up - (o2 + e2)
+            e2_ext = e2_up - e2
+            e2_new = jnp.maximum(e2_open, e2_ext)
+            bit_e2_ext = e2_ext > e2_open
+
+            e_best = jnp.maximum(e1_new, e2_new)
+            bit_e_piece2 = e2_new > e1_new
+
+            # Diagonal.
+            qb = qi[i - 1]
+            rb = ri[jnp.clip(j_glob - 1, 0, ri.shape[0] - 1)]
+            subst = jnp.where((qb == rb) & (qb < 4) & (rb < 4), match, mismatch)
+            diag = jnp.where(j_glob >= 1, h_diag + subst, NEG)
+            # Column 0 base case: H[i][0] = -gapcost(i) arrives via E from H[i-1][0].
+
+            htilde = jnp.maximum(diag, e_best)
+            bit_ht_e = e_best > diag
+
+            # Horizontal (ref-consuming, 'D') gaps via prefix-max scans over the row.
+            def f_scan(ext, open_):
+                aug = htilde + w_idx * ext
+                runmax = jax.lax.associative_scan(jnp.maximum, aug)
+                prev_max = jnp.concatenate([jnp.full((1,), NEG), runmax[:-1]])
+                f = prev_max - open_ - w_idx * ext
+                opened_at_prev = jnp.concatenate(
+                    [jnp.full((1,), True), prev_max[1:] == aug[:-1]])
+                return f, opened_at_prev
+
+            f1, bit_f1_open = f_scan(e1, o1)
+            f2, bit_f2_open = f_scan(e2, o2)
+            f_best = jnp.maximum(f1, f2)
+            bit_f_piece2 = f2 > f1
+
+            h_new = jnp.maximum(htilde, f_best)
+            bit_h_f = f_best > htilde
+
+            h_new = jnp.where(valid, h_new, NEG)
+            e1_new = jnp.where(valid, e1_new, NEG)
+            e2_new = jnp.where(valid, e2_new, NEG)
+
+            tb = (bit_ht_e.astype(jnp.uint8)
+                  | (bit_h_f.astype(jnp.uint8) << 1)
+                  | (bit_e_piece2.astype(jnp.uint8) << 2)
+                  | (bit_f_piece2.astype(jnp.uint8) << 3)
+                  | (bit_e1_ext.astype(jnp.uint8) << 4)
+                  | (bit_e2_ext.astype(jnp.uint8) << 5)
+                  | (bit_f1_open.astype(jnp.uint8) << 6)
+                  | (bit_f2_open.astype(jnp.uint8) << 7))
+
+            return (h_new, e1_new, e2_new, off), (tb, off)
+
+        (h_last, _, _, off_last), (tb, offs) = jax.lax.scan(
+            step, (h0, e10, e20, jnp.int32(0)),
+            jnp.arange(1, max_m + 1, dtype=jnp.int32))
+
+        # Score of the real last row (mi may be < max_m): gather H[mi][ni].
+        # Recompute by tracking row mi's H: use where-trick inside scan instead.
+        return h_last, tb, offs
+
+    h_last, tb, offs = jax.vmap(one)(q, r, m, n)
+    return h_last, tb, offs
+
+
+class BandedAligner:
+    """Host-facing wrapper: pad/bucket segments, run the kernel, traceback."""
+
+    def __init__(self, scoring=None):
+        self.scoring = dict(DEFAULT_SCORING, **(scoring or {}))
+
+    def align_batch(self, pairs, width):
+        """Align a list of (q_codes, r_codes) with one bucket shape.
+
+        :param pairs: list of (q, r) uint8 code arrays; len(q) <= max_m.
+        :param width: band window width (covers whole row when >= max(n)+1).
+
+        :return: list of (lens, ops) CIGAR arrays (I = query-consuming gap,
+            D = ref-consuming gap, =/X matches).
+        """
+        sc = self.scoring
+        B = len(pairs)
+        m = np.array([len(q) for q, _ in pairs], dtype=np.int32)
+        n = np.array([len(r) for _, r in pairs], dtype=np.int32)
+        max_m = int(m.max()) if B else 0
+        max_n = int(n.max()) if B else 0
+        if max_m == 0:
+            return [_pure_gap(len(r), 'D') for _, r in pairs]
+
+        qpad = np.full((B, max_m), 4, dtype=np.int8)
+        rpad = np.full((B, max(max_n, 1)), 4, dtype=np.int8)
+        for i, (qq, rr) in enumerate(pairs):
+            qpad[i, :len(qq)] = qq
+            rpad[i, :len(rr)] = rr
+
+        _, tb, offs = _align_batch(
+            jnp.asarray(qpad), jnp.asarray(rpad), jnp.asarray(m), jnp.asarray(n),
+            max_m, int(width),
+            int(sc['match']), int(sc['mismatch']),
+            int(sc['gap_open'][0]), int(sc['gap_open'][1]),
+            int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
+
+        tb = np.asarray(tb)
+        offs = np.asarray(offs)
+
+        out = []
+        for i, (qq, rr) in enumerate(pairs):
+            out.append(traceback(tb[i], offs[i], qq, rr, int(width)))
+        return out
+
+
+def _pure_gap(length, op_char):
+    from ..align import cigar as cg
+    if length == 0:
+        return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int8)
+    op = cg.I if op_char == 'I' else cg.D
+    return np.array([length], dtype=np.int32), np.array([op], dtype=np.int8)
+
+
+def traceback(tb, offs, q, r, width):
+    """Walk packed traceback bytes from (m, n) to (0, 0); emit (lens, ops)."""
+    from ..align import cigar as cg
+
+    m, n = len(q), len(r)
+    if m == 0:
+        return _pure_gap(n, 'D')
+    if n == 0:
+        return _pure_gap(m, 'I')
+
+    ops_rev = []  # (op, run) appended in reverse order
+
+    def emit(op):
+        if ops_rev and ops_rev[-1][0] == op:
+            ops_rev[-1][1] += 1
+        else:
+            ops_rev.append([op, 1])
+
+    i, j = m, n
+    state = 'H'
+    piece = 0
+    while i > 0 and j > 0:
+        row_tb = tb[i - 1]
+        off = int(offs[i - 1])
+        w = j - off
+        if w < 0 or w >= width:
+            raise RuntimeError(
+                f'Traceback left the band at ({i},{j}) off={off} width={width}; '
+                'band too narrow for this segment')
+        byte = int(row_tb[w])
+
+        if state == 'H':
+            if byte & 2:
+                state = 'F'
+                piece = 1 if (byte & 8) else 0
+                continue
+            if byte & 1:
+                state = 'E'
+                piece = 1 if (byte & 4) else 0
+                continue
+            emit(cg.EQ if (q[i - 1] == r[j - 1] and q[i - 1] < 4) else cg.X)
+            i -= 1
+            j -= 1
+        elif state == 'E':
+            emit(cg.I)
+            extend = byte & (16 if piece == 0 else 32)
+            i -= 1
+            if not extend:
+                state = 'H'
+        else:  # F
+            emit(cg.D)
+            opened = byte & (64 if piece == 0 else 128)
+            j -= 1
+            if opened:
+                state = 'H'
+
+    if i > 0:
+        emit_run(ops_rev, cg.I, i)
+    if j > 0:
+        emit_run(ops_rev, cg.D, j)
+
+    ops_rev.reverse()
+    lens = np.array([rl for _, rl in ops_rev], dtype=np.int32)
+    ops = np.array([op for op, _ in ops_rev], dtype=np.int8)
+    return lens, ops
+
+
+def emit_run(ops_rev, op, run):
+    if run <= 0:
+        return
+    if ops_rev and ops_rev[-1][0] == op:
+        ops_rev[-1][1] += run
+    else:
+        ops_rev.append([op, run])

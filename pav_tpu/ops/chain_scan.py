@@ -1,0 +1,87 @@
+"""Anchor chaining as a compiled lax.scan (minimap2-style chain DP).
+
+The chain score recurrence f[i] = max(k, max_j f[j] + match - gap_cost) has a
+sequential dependency, so it runs as a jitted scan over anchors with a fixed
+lookback window held in a rolling carry buffer — one fused device loop instead
+of a Python-per-anchor walk. Grouping (chrom/strand) is enforced by masking on a
+group-id channel, letting all groups run concatenated in a single scan.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e18
+
+
+@functools.partial(jax.jit, static_argnames=('lookback', 'k'))
+def _chain_scan(qpos, rpos, group, lookback, k, max_dist, max_gap_diff, gap_scale):
+    n = qpos.shape[0]
+
+    def step(carry, x):
+        q_buf, r_buf, f_buf, g_buf, i_buf = carry
+        q, r, g, idx = x
+
+        dq = q - q_buf
+        dr = r - r_buf
+        dd = jnp.abs(dr - dq)
+        match = jnp.minimum(jnp.minimum(dq, dr), k).astype(jnp.float32)
+        gap_cost = jnp.where(dd == 0, 0.0,
+                             gap_scale * dd.astype(jnp.float32)
+                             + 0.5 * jnp.log2(dd.astype(jnp.float32) + 1.0))
+
+        ok = ((g_buf == g) & (dq > 0) & (dr > 0)
+              & (dq <= max_dist) & (dr <= max_dist) & (dd <= max_gap_diff))
+        cand = jnp.where(ok, f_buf + match - gap_cost, NEG)
+
+        best = jnp.argmax(cand)
+        best_score = cand[best]
+        use = best_score > k  # extending must beat starting fresh
+        f = jnp.where(use, best_score, float(k))
+        parent = jnp.where(use, i_buf[best], -1)
+
+        # Roll buffers, appending this anchor.
+        q_buf = jnp.concatenate([q_buf[1:], q[None]])
+        r_buf = jnp.concatenate([r_buf[1:], r[None]])
+        f_buf = jnp.concatenate([f_buf[1:], f[None]])
+        g_buf = jnp.concatenate([g_buf[1:], g[None]])
+        i_buf = jnp.concatenate([i_buf[1:], idx[None]])
+
+        return (q_buf, r_buf, f_buf, g_buf, i_buf), (f, parent)
+
+    init = (
+        jnp.zeros(lookback, dtype=jnp.int32),
+        jnp.zeros(lookback, dtype=jnp.int32),
+        jnp.full(lookback, NEG, dtype=jnp.float32),
+        jnp.full(lookback, -1, dtype=jnp.int32),
+        jnp.full(lookback, -1, dtype=jnp.int32),
+    )
+    xs = (qpos, rpos, group, jnp.arange(n, dtype=jnp.int32))
+    _, (f, parent) = jax.lax.scan(step, init, xs)
+    return f, parent
+
+
+def chain_scores(qpos, rpos, group, k, lookback=64, max_dist=50000,
+                 max_gap_diff=10000, gap_scale=None):
+    """Compute chain DP scores and parent pointers for sorted anchors.
+
+    :param qpos: int64 query positions (strand-transformed, ascending within
+        each (group, rpos) sort).
+    :param rpos: int64 reference positions.
+    :param group: int64 group ids (chrom x strand); chaining never crosses groups.
+    :param k: anchor (k-mer) length.
+
+    :return: (scores float32, parents int64) numpy arrays; parent -1 = chain start.
+    """
+    if gap_scale is None:
+        gap_scale = 0.01 * k
+    n = len(qpos)
+    if n == 0:
+        return np.zeros(0, dtype=np.float32), np.zeros(0, dtype=np.int64)
+    f, parent = _chain_scan(
+        jnp.asarray(qpos, dtype=jnp.int32), jnp.asarray(rpos, dtype=jnp.int32),
+        jnp.asarray(group, dtype=jnp.int32), int(lookback), int(k),
+        float(max_dist), float(max_gap_diff), float(gap_scale))
+    return np.asarray(f), np.asarray(parent)

@@ -1,0 +1,140 @@
+"""Banded affine DP kernel vs. brute-force two-piece affine global alignment."""
+
+import numpy as np
+import pytest
+
+from pav_tpu.align import cigar as cg
+from pav_tpu.ops import affine_dp
+from helpers import random_seq
+
+SC = affine_dp.DEFAULT_SCORING
+
+
+def brute_force_score(q, r, sc=SC):
+    """Full-matrix two-piece affine global alignment score (numpy, exact)."""
+    m, n = len(q), len(r)
+    o1, o2 = sc['gap_open']
+    e1, e2 = sc['gap_ext']
+    NEG = -10**9
+
+    H = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+    E1 = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+    E2 = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+    F1 = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+    F2 = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+
+    H[0, 0] = 0
+    for j in range(1, n + 1):
+        H[0, j] = -min(o1 + j * e1, o2 + j * e2)
+    for i in range(1, m + 1):
+        H[i, 0] = -min(o1 + i * e1, o2 + i * e2)
+
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            E1[i, j] = max(H[i - 1, j] - o1 - e1, E1[i - 1, j] - e1)
+            E2[i, j] = max(H[i - 1, j] - o2 - e2, E2[i - 1, j] - e2)
+            F1[i, j] = max(H[i, j - 1] - o1 - e1, F1[i, j - 1] - e1)
+            F2[i, j] = max(H[i, j - 1] - o2 - e2, F2[i, j - 1] - e2)
+            s = sc['match'] if (q[i - 1] == r[j - 1] and q[i - 1] < 4) else sc['mismatch']
+            H[i, j] = max(H[i - 1, j - 1] + s, E1[i, j], E2[i, j], F1[i, j], F2[i, j])
+    return int(H[m, n])
+
+
+def cigar_score(lens, ops, q, r, sc=SC):
+    """Score a CIGAR path and verify it is a consistent path over (q, r)."""
+    score = 0
+    i = j = 0
+    for l, op in zip(lens, ops):
+        l = int(l)
+        if op == cg.EQ:
+            assert np.all(q[i:i + l] == r[j:j + l])
+            score += sc['match'] * l
+            i += l; j += l
+        elif op == cg.X:
+            assert np.all((q[i:i + l] != r[j:j + l]) | (q[i:i + l] >= 4))
+            score += sc['mismatch'] * l
+            i += l; j += l
+        elif op == cg.I:
+            score -= affine_dp.gap_cost(l, sc)
+            i += l
+        elif op == cg.D:
+            score -= affine_dp.gap_cost(l, sc)
+            j += l
+        else:
+            raise AssertionError(f'unexpected op {op}')
+    assert i == len(q) and j == len(r)
+    return int(score)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3])
+def test_random_small_full_width(seed):
+    rng = np.random.default_rng(seed)
+    aligner = affine_dp.BandedAligner()
+    pairs = []
+    for _ in range(8):
+        m = int(rng.integers(1, 40))
+        q = random_seq(m, rng)
+        # r = mutated q
+        r = q.copy()
+        if rng.random() < 0.7 and m > 4:
+            p = int(rng.integers(0, m - 1))
+            r = np.concatenate([r[:p], random_seq(int(rng.integers(1, 6)), rng), r[p:]])
+        if rng.random() < 0.5:
+            p = int(rng.integers(0, len(r)))
+            r = np.delete(r, slice(p, p + int(rng.integers(1, 4))))
+        if len(r) == 0:
+            r = random_seq(3, rng)
+        pairs.append((q, r))
+
+    width = max(max(len(r) for _, r in pairs) + 1, max(len(q) for q, _ in pairs) + 1)
+    results = aligner.align_batch(pairs, width=width)
+
+    for (q, r), (lens, ops) in zip(pairs, results):
+        got = cigar_score(lens, ops, q, r)
+        want = brute_force_score(q, r)
+        assert got == want, f'{got} != {want} for m={len(q)} n={len(r)}'
+
+
+def test_identical_sequences():
+    rng = np.random.default_rng(9)
+    q = random_seq(100, rng)
+    aligner = affine_dp.BandedAligner()
+    (lens, ops), = aligner.align_batch([(q, q.copy())], width=128)
+    assert cg.to_string(lens, ops) == '100='
+
+
+def test_large_insertion_banded():
+    rng = np.random.default_rng(10)
+    r = random_seq(300, rng)
+    ins = random_seq(120, rng)
+    q = np.concatenate([r[:150], ins, r[150:]])  # q has 120bp insertion
+    aligner = affine_dp.BandedAligner()
+    width = 2 * abs(len(q) - len(r)) + 129
+    (lens, ops), = aligner.align_batch([(q, r)], width=width)
+    got = cigar_score(lens, ops, q, r)
+    want = brute_force_score(q, r)
+    assert got == want
+    # Must contain a single 120bp I op
+    assert any(int(l) == 120 and op == cg.I for l, op in zip(lens, ops))
+
+
+def test_leading_deletion_banded():
+    rng = np.random.default_rng(12)
+    q = random_seq(200, rng)
+    r = np.concatenate([random_seq(90, rng), q])  # deletion at the very start
+    aligner = affine_dp.BandedAligner()
+    width = 2 * 90 + 129
+    (lens, ops), = aligner.align_batch([(q, r)], width=width)
+    got = cigar_score(lens, ops, q, r)
+    want = brute_force_score(q, r)
+    assert got == want
+
+
+def test_empty_sides():
+    aligner = affine_dp.BandedAligner()
+    rng = np.random.default_rng(13)
+    q = random_seq(10, rng)
+    (lens, ops), = aligner.align_batch([(q, np.zeros(0, dtype=np.uint8))], width=16)
+    assert cg.to_string(lens, ops) == '10I'
+    (lens, ops), = aligner.align_batch([(np.zeros(0, dtype=np.uint8), q)], width=16)
+    assert cg.to_string(lens, ops) == '10D'

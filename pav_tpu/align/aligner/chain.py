@@ -1,0 +1,108 @@
+"""Anchor collection and chain extraction.
+
+Seeds come from the minimizer index; the chain DP itself runs as a compiled
+scan (pav_tpu.ops.chain_scan). This module owns the cheap, irregular host work:
+strand transforms, grouping, backtracking parents into chains, and primary-chain
+selection (the reference ran minimap2 with --secondary=no:
+rules/align.snakefile:188).
+"""
+
+import numpy as np
+
+from ...ops.chain_scan import chain_scores
+from .index import minimizers
+
+
+class Chain:
+    __slots__ = ('chrom_id', 'is_rev', 'qpos', 'rpos', 'score', 'n_anchors')
+
+    def __init__(self, chrom_id, is_rev, qpos, rpos, score):
+        # Anchor positions ascending; for reverse-strand chains qpos is in the
+        # strand-transformed frame q' = qlen - q - k.
+        self.chrom_id = int(chrom_id)
+        self.is_rev = bool(is_rev)
+        self.qpos = qpos
+        self.rpos = rpos
+        self.score = float(score)
+        self.n_anchors = len(qpos)
+
+    def q_span(self):
+        return int(self.qpos[0]), int(self.qpos[-1])
+
+
+def collect_anchors(qry_codes, index, max_occ=64):
+    """Minimizer anchors of one contig against the reference index.
+
+    :return: (qpos, rpos, chrom, rev) int arrays; qpos strand-transformed for
+        reverse hits so chains ascend in both coordinates.
+    """
+    k, w = index.k, index.w
+    qpos, qhash, qstrand = minimizers(qry_codes, k, w)
+    q_idx, t_chrom, t_pos, t_strand = index.lookup(qhash, max_occ=max_occ)
+
+    if len(q_idx) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z.astype(np.int32), np.zeros(0, dtype=bool)
+
+    a_qpos = qpos[q_idx]
+    rev = (qstrand[q_idx] != t_strand)
+    qlen = len(qry_codes)
+    a_qpos = np.where(rev, qlen - a_qpos - k, a_qpos)
+    return a_qpos, t_pos, t_chrom, rev
+
+
+def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
+                max_gap_diff=10000, min_chain_score=100, min_anchors=3,
+                max_overlap_frac=0.5):
+    """Seed, chain, and select primary chains for one contig.
+
+    :return: List of Chain, sorted by score descending, overlap-filtered so
+        accepted chains cover mostly-disjoint query intervals (split alignments
+        across SVs survive; repeat-induced secondaries are dropped).
+    """
+    k = index.k
+    qpos, rpos, chrom, rev = collect_anchors(qry_codes, index, max_occ)
+    n = len(qpos)
+    if n == 0:
+        return []
+
+    group = chrom.astype(np.int64) * 2 + rev.astype(np.int64)
+    order = np.lexsort((qpos, rpos, group))
+    qpos, rpos, group, rev = qpos[order], rpos[order], group[order], rev[order]
+    chrom = chrom[order]
+
+    scores, parents = chain_scores(
+        qpos, rpos, group, k, lookback=lookback, max_dist=max_dist,
+        max_gap_diff=max_gap_diff)
+
+    # Extract chains greedily from best-scoring tails.
+    used = np.zeros(n, dtype=bool)
+    chains = []
+    for i in np.argsort(-scores):
+        if used[i] or scores[i] < min_chain_score:
+            continue
+        path = []
+        j = int(i)
+        while j >= 0 and not used[j]:
+            path.append(j)
+            used[j] = True
+            j = int(parents[j])
+        if len(path) < min_anchors:
+            continue
+        path.reverse()
+        idx = np.array(path)
+        chains.append(Chain(chrom[i], bool(rev[i]), qpos[idx], rpos[idx], scores[i]))
+
+    # Primary selection by query-span overlap.
+    chains.sort(key=lambda c: -c.score)
+    accepted = []
+    spans = []
+    for c in chains:
+        lo, hi = c.q_span()
+        hi += k
+        length = hi - lo
+        overlap = sum(max(0, min(hi, e) - max(lo, s)) for s, e in spans)
+        if overlap <= max_overlap_frac * length:
+            accepted.append(c)
+            spans.append((lo, hi))
+    return accepted

@@ -64,7 +64,8 @@ def minimizers(codes, k, w):
     win_min = sliding_window_view(hi, w).min(axis=1)          # length n-w+1
     # cover_max[i] = max win_min over windows covering i (= window starts [i-w+1, i]).
     lo = np.iinfo(np.int64).min
-    padded = np.concatenate([win_min, np.full(w - 1, lo, dtype=np.int64)])
+    pad = np.full(w - 1, lo, dtype=np.int64)
+    padded = np.concatenate([pad, win_min, pad])
     cover_max = sliding_window_view(padded, w).max(axis=1)     # length n
 
     is_min = (hi == cover_max) & valid

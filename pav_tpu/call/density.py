@@ -98,7 +98,8 @@ def get_smoothed_density(
     dens = kde.gaussian_density_states(state, sigmas)  # [3, n]
 
     # Spike clamp (reference: pavlib/density.py:311-313).
-    dens = np.where(dens > 1.0, 1.0 / dens, dens)
+    dens = np.where(dens > 1.0, np.divide(1.0, dens, out=np.zeros_like(dens),
+                                          where=dens > 1.0), dens)
 
     smoothed = np.argmax(dens, axis=0).astype(np.int8)
 

@@ -1,0 +1,429 @@
+"""Callset integration: per-haplotype source merging, filters, depth
+annotation, PASS/FAIL split, and the diploid haplotype merge.
+
+Parity with the reference integration rule (rules/call.snakefile:488-747) and
+merge machinery (pavlib/call.py:99-533, 650-733): QRY_FILTER regions, inversion
+SVLEN bounds, COMPOUND filtering of small variants inside larger ones (with
+inv_inner modes), mean-depth/coverage annotation from the trim-qry depth table,
+PASS-first ID versioning, and svmerge-driven haplotype merging with
+callable-region genotypes.
+"""
+
+import collections
+
+import numpy as np
+import pandas as pd
+
+from ..util import IntervalIndex, build_interval_index_by_chrom, merge_intervals, as_bool
+from ..regions import region_from_string
+from . import merge as svmerge
+from .variant_id import version_variant_bed_id
+
+
+# --------------------------------------------------------------------- filters
+
+def apply_qry_filter_tree(df, qry_filter_index, filter_dict):
+    """Add QRY_FILTER for variants whose QRY_REGION intersects filter regions
+    (reference: pavlib/call.py:521-539)."""
+    if qry_filter_index is None or df.shape[0] == 0:
+        return
+    for index, qry_region in df['QRY_REGION'].items():
+        region = region_from_string(qry_region)
+        idx = qry_filter_index.get(region.chrom)
+        if idx is not None and idx.any_overlap(region.pos, region.end):
+            filter_dict[index].add('QRY_FILTER')
+
+
+class CompoundFilterState:
+    """Accumulates accepted large-variant regions across sources
+    (reference compound_filter_tree: rules/call.snakefile:568)."""
+
+    def __init__(self):
+        self.regions = collections.defaultdict(list)  # chrom -> [(pos, end, id)]
+
+    def overlaps(self, chrom, pos, end):
+        return [vid for p, e, vid in self.regions[chrom] if p < end and e > pos]
+
+    def add(self, chrom, pos, end, vid):
+        self.regions[chrom].append((int(pos), int(end), vid))
+
+
+def apply_compound_filter(df, state, filter_dict, compound_dict, update=True,
+                          flag_inv_inner_only=True):
+    """COMPOUND-filter variants inside already-accepted larger variants
+    (reference: pavlib/call.py:475-518)."""
+    if df.shape[0] == 0:
+        return
+    order = df.sort_values(['SVLEN', 'POS'], ascending=(False, True)).index
+    for index in order:
+        row = df.loc[index]
+        hits = state.overlaps(row['#CHROM'], row['POS'], row['END'])
+        if hits:
+            filter_dict[index].add('COMPOUND')
+            compound_dict[index] |= set(hits)
+        elif update and index not in filter_dict.keys():
+            if flag_inv_inner_only and row['SVTYPE'] == 'INV':
+                if 'CALL_SOURCE' not in df.columns:
+                    raise ValueError('CALL_SOURCE column missing in variant callset')
+                if str(row['CALL_SOURCE']).split('-', 1)[0].upper() == 'FLAG':
+                    inner = region_from_string(row['RGN_REF_INNER'])
+                    state.add(inner.chrom, inner.pos, inner.end, row['ID'])
+            else:
+                state.add(row['#CHROM'], row['POS'], row['END'], row['ID'])
+
+
+def update_filter_compound_fields(df, filter_dict, compound_dict):
+    """Write FILTER/COMPOUND columns from the accumulated dicts
+    (reference: pavlib/call.py:446-472)."""
+    if df.shape[0] == 0:
+        if 'FILTER' not in df.columns:
+            df['FILTER'] = pd.Series(dtype=object)
+        df['COMPOUND'] = pd.Series(dtype=object)
+        return
+    df['FILTER'] = pd.Series(
+        {k: ','.join(sorted(v)) for k, v in filter_dict.items()}
+    ).reindex(df.index, fill_value='PASS')
+    df['COMPOUND'] = pd.Series(
+        {k: ','.join(sorted(v)) for k, v in compound_dict.items()}
+    ).reindex(df.index, fill_value='')
+
+
+# ---------------------------------------------------------------------- depth
+
+def annotate_depth(df, df_depth):
+    """Vectorized COV_MEAN / COV_PROP / COV_QRY from a depth table
+    (reference DepthContainer: pavlib/call.py:286-444).
+
+    The depth table must be contiguous per chromosome (it is, by construction
+    from depth_table()). End-of-chromosome insertions take the last interval's
+    depth (the reference's end-insertion rescue: pavlib/call.py:366-386).
+    """
+    if df.shape[0] == 0:
+        df['COV_MEAN'] = pd.Series(dtype=float)
+        df['COV_PROP'] = pd.Series(dtype=float)
+        df['COV_QRY'] = pd.Series(dtype=object)
+        return df
+
+    cov_mean = np.full(df.shape[0], np.nan)
+    cov_prop = np.full(df.shape[0], np.nan)
+    cov_qry = np.full(df.shape[0], '', dtype=object)
+
+    depth_by_chrom = {c: sub.reset_index(drop=True) for c, sub in df_depth.groupby('#CHROM')}
+
+    for chrom, var_sub in df.reset_index().groupby('#CHROM'):
+        dsub = depth_by_chrom.get(chrom)
+        if dsub is None:
+            raise ValueError(f'Variant chromosome not in depth table: {chrom}')
+        dpos = dsub['POS'].to_numpy(dtype=np.int64)
+        dend = dsub['END'].to_numpy(dtype=np.int64)
+        ddepth = dsub['DEPTH'].to_numpy(dtype=np.float64)
+        dqry = dsub['QRY_ID'].to_numpy(dtype=object)
+        cum = np.concatenate([[0.0], np.cumsum(ddepth * (dend - dpos))])
+        cum_cov = np.concatenate([[0.0], np.cumsum((ddepth > 0) * (dend - dpos))])
+
+        vpos = var_sub['POS'].to_numpy(dtype=np.int64)
+        vend = var_sub['END'].to_numpy(dtype=np.int64)
+        rows = var_sub.index.to_numpy()
+
+        first = np.searchsorted(dend, vpos, side='right')
+        last = np.searchsorted(dpos, vend, side='left') - 1
+
+        chrom_end = int(dend[-1])
+        for vi, f, l in zip(range(len(rows)), first, last):
+            pos, end = int(vpos[vi]), int(vend[vi])
+            out_i = rows[vi]
+            if f >= len(dpos):
+                # End-of-chromosome insertion rescue.
+                if pos == chrom_end and end == pos + 1:
+                    f = len(dpos) - 1
+                    cov_mean[out_i] = ddepth[f]
+                    cov_prop[out_i] = 1 if ddepth[f] > 0 else 0
+                    qset = set(str(dqry[f]).split(',')) - {''}
+                    cov_qry[out_i] = ','.join(sorted(qset))
+                    continue
+                raise ValueError(f'Variant beyond depth records on {chrom}: {pos}-{end}')
+            if l < f:
+                l = f
+            if end < dend[f] or (end == pos + 1 and pos >= dpos[f] and end <= dend[f]):
+                # Fully contained in one interval.
+                cov_mean[out_i] = ddepth[f]
+                cov_prop[out_i] = 1 if ddepth[f] > 0 else 0
+                qset = set(str(dqry[f]).split(',')) - {''}
+                cov_qry[out_i] = ','.join(sorted(qset))
+                continue
+            # Weighted sum over overlapped intervals [f, l].
+            lo = np.maximum(dpos[f:l + 1], pos)
+            hi = np.minimum(dend[f:l + 1], end)
+            seg = np.maximum(hi - lo, 0)
+            tot = seg.sum()
+            if tot != end - pos:
+                raise ValueError(
+                    f'Depth span mismatch for {chrom}:{pos}-{end}: covered {tot}')
+            cov_mean[out_i] = float((ddepth[f:l + 1] * seg).sum() / tot)
+            cov_prop[out_i] = float(((ddepth[f:l + 1] > 0) * seg).sum() / tot)
+            qset = set()
+            for q in dqry[f:l + 1][seg > 0]:
+                qset |= set(str(q).split(','))
+            qset -= {''}
+            cov_qry[out_i] = ','.join(sorted(qset)) if qset else np.nan
+
+    df = df.copy()
+    df['COV_MEAN'] = cov_mean
+    df['COV_PROP'] = cov_prop
+    df['COV_QRY'] = cov_qry
+    return df
+
+
+# ----------------------------------------------------------------- integration
+
+def read_variant_tables(df_list):
+    """Concatenate variant tables and prepare filter/compound dicts
+    (reference read_variant_table: pavlib/call.py:219-283)."""
+    from .variant_id import version_id
+
+    frames = [df for df in df_list if df is not None]
+    if not frames:
+        raise ValueError('No variant tables to read')
+    frames = [df for df in frames]
+    df = pd.concat(frames, axis=0) if len(frames) > 1 else frames[0].copy()
+    df = df.sort_values(['#CHROM', 'POS', 'END', 'ID']).reset_index(drop=True)
+
+    if 'FILTER' not in df.columns:
+        df['FILTER'] = 'PASS'
+    df['FILTER'] = df['FILTER'].fillna('PASS')
+
+    df['ID'] = version_id(df['ID'])
+    df = df.set_index('ID', drop=False)
+    df.index.name = 'INDEX'
+
+    filter_dict = collections.defaultdict(set)
+    compound_dict = collections.defaultdict(set)
+    if 'COMPOUND' in df.columns:
+        for index, val in df['COMPOUND'].items():
+            if isinstance(val, str) and val.strip():
+                compound_dict[index] |= {v.strip() for v in val.split(',') if v.strip()}
+        del df['COMPOUND']
+    for index, val in df['FILTER'].items():
+        if val != 'PASS':
+            filter_dict[index].add(val)
+    return df, filter_dict, compound_dict
+
+
+def integrate_sources(df_cigar_insdel, df_cigar_snv, df_lg_ins, df_lg_del,
+                      df_lg_inv, df_inv, df_depth, config, qry_filter_df=None):
+    """Integrate call sources for one haplotype; returns
+    {('svindel_ins'|'svindel_del'|'sv_inv'|'snv_snv'): (df_pass, df_fail)}.
+
+    Mirrors the reference rule control flow exactly
+    (rules/call.snakefile:488-747).
+    """
+    inv_min = config.get('inv_min', 0)
+    inv_max = config.get('inv_max', 1e10)
+    inv_inner = config.get('inv_inner', 'filter_core')
+    redundant_callset = as_bool(config.get('redundant_callset', False))
+
+    inv_inner_bool = as_bool(inv_inner, fail_to_none=True) if inv_inner is not None else None
+    if inv_inner_bool is not None:
+        inv_inner = 'no_filter' if inv_inner_bool else 'filter'
+    else:
+        inv_inner = str(inv_inner).lower().strip()
+        if inv_inner not in ('all', 'none', 'filter_core'):
+            raise ValueError(f'Parameter "inv_inner" must be bool or known string: {inv_inner}')
+
+    inv_min = int(inv_min) if inv_min not in (None, 'unlimited') else None
+    inv_max = int(inv_max) if inv_max not in (None, 'unlimited') else None
+
+    qry_filter_index = None
+    if qry_filter_df is not None and qry_filter_df.shape[0] > 0:
+        qry_filter_index = build_interval_index_by_chrom(qry_filter_df)
+
+    compound_state = CompoundFilterState()
+    out = {}
+    df_insdel_list = []
+
+    for vartype in ('inv', 'lg_del', 'lg_ins', 'insdel', 'snv'):
+        do_write = True
+        is_insdel = False
+        is_inv = False
+        add_compound = True
+        filter_compound = True
+        no_flag_core = False
+
+        if vartype == 'inv':
+            df, filter_dict, compound_dict = read_variant_tables([df_inv, df_lg_inv])
+            df = df.loc[~df['ID'].duplicated(keep='first')]
+            is_inv = True
+        elif vartype == 'lg_del':
+            df, filter_dict, compound_dict = read_variant_tables([df_lg_del])
+            do_write = False
+            is_insdel = True
+        elif vartype == 'lg_ins':
+            df, filter_dict, compound_dict = read_variant_tables([df_lg_ins])
+            do_write = False
+            is_insdel = True
+        elif vartype == 'insdel':
+            df, filter_dict, compound_dict = read_variant_tables([df_cigar_insdel])
+            is_insdel = True
+            add_compound = False
+        else:
+            df, filter_dict, compound_dict = read_variant_tables([df_cigar_snv])
+            add_compound = False
+
+        if redundant_callset:
+            filter_compound = False
+            add_compound = False
+        elif inv_inner == 'no_filter':
+            add_compound = add_compound and not is_inv
+        elif inv_inner == 'no_flag_core':
+            no_flag_core = is_inv
+
+        if df.shape[0] > 0:
+            apply_qry_filter_tree(df, qry_filter_index, filter_dict)
+            if is_inv and inv_min is not None:
+                for index in df.index[df['SVLEN'] < inv_min]:
+                    filter_dict[index].add('SVLEN')
+            if is_inv and inv_max is not None:
+                for index in df.index[df['SVLEN'] > inv_max]:
+                    filter_dict[index].add('SVLEN')
+            if filter_compound:
+                apply_compound_filter(df, compound_state, filter_dict, compound_dict,
+                                      add_compound, no_flag_core)
+
+        update_filter_compound_fields(df, filter_dict, compound_dict)
+        df = annotate_depth(df, df_depth)
+        df['ID'] = version_variant_bed_id(df)
+        df.index = df['ID']
+
+        if is_insdel:
+            df_insdel_list.append(df)
+
+        if do_write:
+            if is_insdel:
+                dfm = pd.concat(df_insdel_list, axis=0).sort_values(['#CHROM', 'POS'])
+                for svtype in ('ins', 'del'):
+                    sub = dfm.loc[dfm['SVTYPE'] == svtype.upper()]
+                    out[f'svindel_{svtype}'] = (
+                        sub.loc[sub['FILTER'] == 'PASS'].copy(),
+                        sub.loc[sub['FILTER'] != 'PASS'].copy())
+            elif is_inv:
+                out['sv_inv'] = (df.loc[df['FILTER'] == 'PASS'].copy(),
+                                 df.loc[df['FILTER'] != 'PASS'].copy())
+            else:
+                out['snv_snv'] = (df.loc[df['FILTER'] == 'PASS'].copy(),
+                                  df.loc[df['FILTER'] != 'PASS'].copy())
+
+    return out
+
+
+# ----------------------------------------------------------- callable regions
+
+def callable_regions(df_align, df_lg_del, df_lg_ins, df_lg_inv, flank=500):
+    """Merge trimmed-alignment spans and large-SV spans into callable regions
+    (reference: rules/call.snakefile:186-215, pavlib/util.py:40-104)."""
+    frames = []
+    for df in (df_align, df_lg_del, df_lg_ins, df_lg_inv):
+        if df is not None and df.shape[0] > 0:
+            frames.append(df[['#CHROM', 'POS', 'END']])
+    if not frames:
+        return pd.DataFrame([], columns=['#CHROM', 'POS', 'END'])
+    return merge_intervals(pd.concat(frames, axis=0), pad=flank)
+
+
+# ------------------------------------------------------------ haplotype merge
+
+def get_gt(row, hap, callable_index):
+    """Genotype for one haplotype: '1' if called, '0' if callable, '.' if not
+    (reference: pavlib/call.py:99-119)."""
+    if hap in str(row['HAP']).split(';'):
+        return '1'
+    idx = callable_index.get(row['#CHROM'])
+    # Containment required, not just overlap (reference: call.py:114-117).
+    if idx is not None and idx.any_contains(row['POS'], row['END']):
+        return '0'
+    return '.'
+
+
+def val_per_hap(df, df_dict, col_name, delim=';'):
+    """Pack per-haplotype values for merged variants
+    (reference: pavlib/call.py:122-148)."""
+    def pack(row):
+        pairs = list(zip(str(row['HAP']).split(';'), str(row['HAP_VARIANTS']).split(';')))
+        return delim.join(str(df_dict[h].loc[v, col_name]) for h, v in pairs)
+    return df.apply(pack, axis=1)
+
+
+def merge_haplotypes(bed_list, callable_list, hap_list, config_def,
+                     subset_chrom=None):
+    """Diploid (or polyploid) merge of per-haplotype callsets
+    (reference: pavlib/call.py:650-733)."""
+    import re as _re
+
+    n_hap = len(hap_list)
+    if len(bed_list) != n_hap or len(callable_list) != n_hap:
+        raise ValueError('bed_list/callable_list length does not match hap_list')
+
+    df = svmerge.merge_variants(
+        bed_list=bed_list, sample_names=hap_list, strategy=config_def,
+        subset_chrom=subset_chrom)
+
+    df = df.set_index('ID', drop=False)
+    df.index.name = 'INDEX'
+
+    for col in ('HAP', 'RGN_REF_DISC', 'RGN_QRY_DISC', 'FLAG_ID', 'FLAG_TYPE',
+                'MERGE_SRC', 'MERGE_SRC_ID'):
+        if col in df.columns:
+            del df[col]
+
+    df.columns = [_re.sub('^MERGE_', 'HAP_', c) for c in df.columns]
+    df.columns = ['HAP' if c == 'HAP_SAMPLES' else c for c in df.columns]
+
+    for col in ('HAP', 'HAP_VARIANTS', 'HAP_RO', 'HAP_SZRO', 'HAP_OFFSET',
+                'HAP_OFFSZ', 'HAP_MATCH'):
+        if col in df.columns:
+            df[col] = df[col].apply(lambda val: ';'.join(str(val).split(',')))
+
+    df_dict = {}
+    for hap, bed in zip(hap_list, bed_list):
+        sub = bed if not isinstance(bed, str) else pd.read_csv(bed, sep='\t')
+        sub = sub.set_index('ID', drop=False)
+        df_dict[hap] = sub
+
+    if df.shape[0] > 0:
+        for col in ('QRY_REGION', 'QRY_STRAND', 'CI', 'ALIGN_INDEX', 'CALL_SOURCE',
+                    'RGN_REF_INNER', 'RGN_QRY_INNER', 'COV_MEAN', 'COV_PROP', 'COV_QRY'):
+            if col in df.columns:
+                df[col] = val_per_hap(df, df_dict, col)
+
+    callable_idx_list = []
+    for item in callable_list:
+        sub = item if not isinstance(item, str) else pd.read_csv(item, sep='\t')
+        callable_idx_list.append(build_interval_index_by_chrom(sub))
+
+    if df.shape[0] > 0:
+        gt_cols = [
+            df.apply(get_gt, hap=hap_list[i], callable_index=callable_idx_list[i], axis=1)
+            for i in range(n_hap)
+        ]
+        df['GT'] = pd.concat(gt_cols, axis=1).apply(lambda vals: '|'.join(vals), axis=1)
+    else:
+        df['GT'] = ''
+
+    return df
+
+
+def get_merge_params(svtype, config):
+    """Merge strategy for a variant type (reference: pavlib/call.py:736-770)."""
+    from ..constants import MERGE_PARAM_DEFAULT
+    config_def = None
+    if svtype in ('ins', 'del', 'inv'):
+        for key in (f'merge_{svtype}', 'merge_insdel', 'merge_insdelinv'):
+            if key in config and config[key]:
+                config_def = config[key]
+                break
+    elif svtype == 'snv' and config.get('merge_snv'):
+        config_def = config['merge_snv']
+    if config_def is None:
+        config_def = MERGE_PARAM_DEFAULT.get(svtype)
+    if config_def is None:
+        raise ValueError(f'No merge parameters for svtype: {svtype}')
+    return config_def

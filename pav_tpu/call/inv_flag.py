@@ -1,0 +1,202 @@
+"""Inversion signature flagging from variant calls.
+
+Parity with the reference's flagging rules (rules/call_inv.snakefile:480-692
+and 321-477): matched INS/DEL pairs (SV and indel scale), indel clusters, and
+SNV clusters are merged into flagged regions annotated with signature types and
+an accept filter. Interval work is vectorized over sorted arrays.
+"""
+
+import numpy as np
+import pandas as pd
+
+from ..util import IntervalIndex, merge_intervals
+
+FLAG_COLUMNS = ['#CHROM', 'POS', 'END', 'ID', 'SVTYPE', 'SVLEN', 'TYPE',
+                'COUNT_INDEL', 'COUNT_SNV', 'TRY_INV', 'BATCH']
+
+
+def flag_insdel_cluster(df_insdel, vartype, flank_cluster=2, flank_merge=2000,
+                        cluster_min_svlen=4):
+    """Matched INS/DEL flagging: for each INS, find DELs within SVLEN*flank of
+    its position; flag the span of matching DELs
+    (reference: rules/call_inv.snakefile:480-603)."""
+    df = df_insdel
+    if 'FILTER' in df.columns:
+        df = df.loc[df['FILTER'] == 'PASS']
+    svlen_min = cluster_min_svlen if vartype == 'indel' else 50
+    df = df.loc[df['SVLEN'] >= svlen_min]
+    if vartype == 'indel':
+        df = df.loc[df['SVLEN'] < 50]
+
+    if df.shape[0] == 0:
+        return pd.DataFrame([], columns=['#CHROM', 'POS', 'END'])
+
+    df_ins = df.loc[df['SVTYPE'] == 'INS']
+    df_del = df.loc[df['SVTYPE'] == 'DEL']
+    if df_ins.shape[0] == 0 or df_del.shape[0] == 0:
+        return pd.DataFrame([], columns=['#CHROM', 'POS', 'END'])
+
+    out = []
+    for chrom, sub_del in df_del.groupby('#CHROM'):
+        sub_ins = df_ins.loc[df_ins['#CHROM'] == chrom]
+        if sub_ins.shape[0] == 0:
+            continue
+        didx = IntervalIndex(sub_del['POS'].to_numpy(), sub_del['END'].to_numpy())
+        dpos = sub_del['POS'].to_numpy()
+        dend = sub_del['END'].to_numpy()
+        for pos, svlen in zip(sub_ins['POS'].to_numpy(), sub_ins['SVLEN'].to_numpy()):
+            flank = int(svlen) * flank_cluster
+            hits = didx.overlap_indices(int(pos) - flank, int(pos) + flank)
+            if len(hits):
+                out.append((chrom, int(dpos[hits].min()), int(dend[hits].max())))
+
+    if not out:
+        return pd.DataFrame([], columns=['#CHROM', 'POS', 'END'])
+    df_match = pd.DataFrame(out, columns=['#CHROM', 'POS', 'END'])
+    # Merge intervals within flank_merge of each other (pad retained as span
+    # extension is not applied in the reference; merge on raw bounds with gap
+    # tolerance).
+    return _merge_gap(df_match, flank_merge)
+
+
+def _merge_gap(df, gap):
+    """Merge sorted intervals whose start is within `gap` of the previous end
+    (bounds kept unpadded; reference: rules/call_inv.snakefile:546-594)."""
+    df = df.sort_values(['#CHROM', 'POS']).reset_index(drop=True)
+    out = []
+    chrom, pos, end = None, None, None
+    for c, p, e in zip(df['#CHROM'], df['POS'], df['END']):
+        if c != chrom:
+            if chrom is not None:
+                out.append((chrom, pos, end))
+            chrom, pos, end = c, int(p), int(e)
+        elif int(p) - gap <= end:
+            end = max(end, int(e))
+        else:
+            out.append((chrom, pos, end))
+            pos, end = int(p), int(e)
+    if chrom is not None:
+        out.append((chrom, pos, end))
+    return pd.DataFrame(out, columns=['#CHROM', 'POS', 'END'])
+
+
+def flag_cluster(df, vartype, cluster_win=200, cluster_win_min=500,
+                 cluster_min_snv=20, cluster_min_indel=10):
+    """Cluster flagging for SNVs or indels
+    (reference: rules/call_inv.snakefile:603-692)."""
+    if df.shape[0] == 0:
+        return pd.DataFrame([], columns=['#CHROM', 'POS', 'END', 'COUNT'])
+    if 'FILTER' in df.columns:
+        df = df.loc[df['FILTER'] == 'PASS']
+    if vartype == 'indel':
+        df = df.loc[df['SVLEN'] < 50]
+        cluster_min = cluster_min_indel
+    elif vartype == 'snv':
+        cluster_min = cluster_min_snv
+    else:
+        raise ValueError(f'Bad variant type: {vartype}')
+
+    df = df.sort_values(['#CHROM', 'POS'])
+    mid = ((df['END'].to_numpy() + df['POS'].to_numpy()) // 2)
+    chroms = df['#CHROM'].to_numpy()
+
+    out = []
+    chrom = None
+    cpos = cend = 0
+    count = 0
+    for c, p in zip(chroms, mid):
+        p = int(p)
+        if c == chrom and p < cend + cluster_win:
+            count += 1
+            cend = p
+        else:
+            if count >= cluster_min and (cend - cpos) >= cluster_win_min:
+                out.append((chrom, cpos, cend, count))
+            chrom, cpos, cend, count = c, p, p, 1
+    if count >= cluster_min and (cend - cpos) >= cluster_win_min:
+        out.append((chrom, cpos, cend, count))
+    return pd.DataFrame(out, columns=['#CHROM', 'POS', 'END', 'COUNT'])
+
+
+def merge_flagged_loci(df_insdel_sv, df_insdel_indel, df_cluster_indel,
+                       df_cluster_snv, flank=500, batch_count=60,
+                       inv_sig_filter='svindel'):
+    """Merge all flag sources into annotated flagged regions with TRY_INV and
+    round-robin batch assignment (reference: rules/call_inv.snakefile:321-477)."""
+    allow_single_cluster = False
+    match_any = set()
+    if inv_sig_filter is not None:
+        if inv_sig_filter == 'single_cluster':
+            allow_single_cluster = True
+        elif inv_sig_filter == 'svindel':
+            match_any |= {'MATCH_SV', 'MATCH_INDEL'}
+        elif inv_sig_filter == 'sv':
+            match_any.add('MATCH_SV')
+        else:
+            raise ValueError(f'Unrecognized region filter: {inv_sig_filter}')
+
+    frames = []
+    for df_src, type_tag, count_col in (
+            (df_insdel_sv, 'MATCH_SV', None),
+            (df_insdel_indel, 'MATCH_INDEL', None),
+            (df_cluster_indel, 'CLUSTER_INDEL', 'COUNT_INDEL'),
+            (df_cluster_snv, 'CLUSTER_SNV', 'COUNT_SNV')):
+        if df_src.shape[0] == 0:
+            continue
+        sub = df_src[['#CHROM', 'POS', 'END']].copy()
+        sub['COUNT_INDEL'] = df_src['COUNT'].to_numpy() if count_col == 'COUNT_INDEL' else 0
+        sub['COUNT_SNV'] = df_src['COUNT'].to_numpy() if count_col == 'COUNT_SNV' else 0
+        sub['TYPE'] = [{type_tag} for _ in range(sub.shape[0])]
+        frames.append(sub)
+
+    if not frames:
+        return pd.DataFrame([], columns=FLAG_COLUMNS)
+
+    df = pd.concat(frames, axis=0).sort_values(['#CHROM', 'POS'])
+
+    regions = []
+    chrom, pos, end = None, 0, 0
+    indel_count = snv_count = 0
+    type_set = set()
+    for _, row in df.iterrows():
+        if row['#CHROM'] == chrom and row['POS'] < end + flank:
+            type_set |= row['TYPE']
+            end = row['END']
+            indel_count += row['COUNT_INDEL']
+            snv_count += row['COUNT_SNV']
+        else:
+            if type_set:
+                regions.append((chrom, pos, end, type_set, indel_count, snv_count))
+            chrom, pos, end = row['#CHROM'], row['POS'], row['END']
+            type_set = set(row['TYPE'])
+            indel_count = row['COUNT_INDEL']
+            snv_count = row['COUNT_SNV']
+    if type_set:
+        regions.append((chrom, pos, end, type_set, indel_count, snv_count))
+
+    rows = []
+    for chrom, pos, end, type_set, n_indel, n_snv in regions:
+        rows.append((
+            chrom, int(pos), int(end),
+            f'{chrom}-{pos}-RGN-{end - pos}', 'RGN', int(end - pos),
+            type_set, int(n_indel), int(n_snv)))
+    out = pd.DataFrame(rows, columns=['#CHROM', 'POS', 'END', 'ID', 'SVTYPE',
+                                      'SVLEN', 'TYPE', 'COUNT_INDEL', 'COUNT_SNV'])
+    out = out.sort_values(['#CHROM', 'POS']).reset_index(drop=True)
+
+    def accept(type_set):
+        if not allow_single_cluster and type_set in ({'CLUSTER_SNV'}, {'CLUSTER_INDEL'}):
+            return False
+        if match_any and not (type_set & match_any):
+            return False
+        return True
+
+    out['TRY_INV'] = out['TYPE'].apply(accept)
+    out['BATCH'] = -1
+    batch = 0
+    for i in out.index[out['TRY_INV']]:
+        out.loc[i, 'BATCH'] = batch
+        batch = (batch + 1) % batch_count
+
+    out['TYPE'] = out['TYPE'].apply(lambda vals: ','.join(sorted(vals)))
+    return out

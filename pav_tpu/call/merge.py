@@ -1,0 +1,334 @@
+"""Nonredundant variant merging (svpoplib.svmerge equivalent).
+
+The reference delegates haplotype merging and TRIM-redundancy intersects to the
+absent svpop submodule via strategy strings (called at pavlib/call.py:675 and
+rules/call.snakefile:458; grammar documented HAP_MERGING.md:7-28 and SURVEY.md
+§2.9). This module re-implements the 'nr' / 'nrsnv' engines from that
+documented behavior:
+
+  nr::ro(p):szro(p,dist,prop)[:match]   — INS/DEL/INV merging
+  nrsnv::exact[:match]                  — SNV merging
+
+Stage semantics (documented behavior; exact svpop internals unavailable):
+  * ro(p): reciprocal overlap of reference spans >= p (insertions use
+    [POS, POS+SVLEN) notional spans).
+  * szro(p, dist, prop): size ratio >= p AND breakpoint offset
+    (min of |dPOS|, |dEND|) <= min(dist, prop * min(svlen)).
+  * match: additionally require sequence identity >= 0.8 (exact for SNV REF/ALT).
+
+Sources merge in order: the first source's variants lead; later sources attach
+at most one variant per lead per source (greedy, best RO then smallest offset),
+otherwise become new leads.
+"""
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..util import IntervalIndex
+
+MATCH_IDENTITY = 0.8
+
+
+class MergeStrategy:
+    def __init__(self, engine, stages, match_seq):
+        self.engine = engine
+        self.stages = stages        # list of (name, params tuple)
+        self.match_seq = match_seq
+
+
+def parse_strategy(strategy):
+    """Parse an svpop-style strategy string."""
+    parts = strategy.split('::')
+    if len(parts) != 2:
+        raise ValueError(f'Unrecognized merge strategy: {strategy}')
+    engine, stage_str = parts
+    if engine not in ('nr', 'nrsnv'):
+        raise ValueError(f'Unknown merge engine: {engine}')
+
+    stages = []
+    match_seq = False
+    for tok in stage_str.split(':'):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if tok == 'match':
+            match_seq = True
+            continue
+        if tok == 'exact':
+            stages.append(('exact', ()))
+            continue
+        m = re.match(r'^(ro|szro|distance|dist)\(([^)]*)\)$', tok)
+        if not m:
+            raise ValueError(f'Unknown merge stage: {tok} in {strategy}')
+        params = tuple(float(v) for v in m[2].split(',') if v.strip())
+        stages.append((m[1], params))
+    return MergeStrategy(engine, stages, match_seq)
+
+
+def _notional_span(df):
+    """Reference spans; insertions take [POS, POS+SVLEN)."""
+    pos = df['POS'].to_numpy(dtype=np.int64)
+    end = df['END'].to_numpy(dtype=np.int64)
+    if 'SVTYPE' in df.columns:
+        is_ins = (df['SVTYPE'] == 'INS').to_numpy()
+        svlen = df['SVLEN'].to_numpy(dtype=np.int64)
+        end = np.where(is_ins, pos + np.maximum(svlen, 1), end)
+    return pos, end
+
+
+def _seq_identity(a, b):
+    """Fast sequence identity in [0, 1]: exact, else banded edit-distance for
+    short pairs, else k-mer Jaccard approximation for long ones."""
+    if a == b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    if min(la, lb) / max(la, lb) < 0.5:
+        return 0.0
+    if max(la, lb) <= 2000:
+        dist = _banded_edit_distance(a, b, band=max(32, abs(la - lb) + 16))
+        return max(0.0, 1.0 - dist / max(la, lb))
+    # K-mer multiset Jaccard (k=9) for long sequences.
+    k = 9
+    from collections import Counter
+    ca = Counter(a[i:i + k] for i in range(la - k + 1))
+    cb = Counter(b[i:i + k] for i in range(lb - k + 1))
+    inter = sum((ca & cb).values())
+    union = sum((ca | cb).values())
+    return inter / union if union else 0.0
+
+
+def _banded_edit_distance(a, b, band):
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    big = la + lb
+    prev = np.arange(lb + 1, dtype=np.int32)
+    bn = np.frombuffer(b.encode('latin1'), dtype=np.uint8)
+    an = np.frombuffer(a.encode('latin1'), dtype=np.uint8)
+    for i in range(1, la + 1):
+        cur = np.empty(lb + 1, dtype=np.int32)
+        cur[0] = i
+        lo = max(1, i - band)
+        hi = min(lb, i + band)
+        if lo > 1:
+            cur[1:lo] = big
+        if hi < lb:
+            cur[hi + 1:] = big
+        sub = prev[lo - 1:hi] + (bn[lo - 1:hi] != an[i - 1])
+        # dp over the band
+        seg = np.minimum(sub, prev[lo:hi + 1] + 1)
+        # horizontal pass (sequential) — short loop over band width
+        run = big
+        for j in range(hi - lo + 1):
+            run = min(seg[j], run + 1, cur[lo + j - 1] + 1)
+            cur[lo + j] = run
+        prev = cur
+    return int(prev[lb])
+
+
+def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=None):
+    """Merge variant tables from multiple sources into a nonredundant set.
+
+    :param bed_list: List of DataFrames (or filenames) with at least
+        #CHROM, POS, END, ID, SVTYPE, SVLEN (REF/ALT for SNV; SEQ for match).
+    :param sample_names: Source names, parallel to bed_list.
+    :param strategy: Strategy string.
+    :param subset_chrom: Restrict to a chromosome or set of chromosomes.
+
+    :return: Merged DataFrame: lead-variant columns + MERGE_SAMPLES,
+        MERGE_VARIANTS, MERGE_RO, MERGE_OFFSET, MERGE_SZRO, MERGE_OFFSZ,
+        MERGE_MATCH, MERGE_SRC, MERGE_SRC_ID.
+    """
+    strat = parse_strategy(strategy)
+
+    dfs = []
+    for item in bed_list:
+        if isinstance(item, str):
+            df = pd.read_csv(item, sep='\t', dtype={'#CHROM': str}, low_memory=False,
+                             keep_default_na=False)
+        else:
+            df = item.copy()
+        if subset_chrom is not None:
+            chroms = {subset_chrom} if isinstance(subset_chrom, str) else set(subset_chrom)
+            df = df.loc[df['#CHROM'].isin(chroms)]
+        df = df.reset_index(drop=True)
+        dfs.append(df)
+
+    # Merged state: lead rows + per-lead support lists.
+    leads = []          # (source_i, row_i)
+    support = []        # per lead: list of (sample, id, ro, offset, szro, offsz, match)
+
+    lead_arrays = None  # rebuilt per source: per-chrom interval indexes of leads
+
+    def rebuild_index():
+        by_chrom = {}
+        pos_l, end_l, chrom_l = [], [], []
+        for li, (si, ri) in enumerate(leads):
+            row = dfs[si].iloc[ri]
+            pos_l.append(row['POS'])
+            end_l.append(row['END'])
+            chrom_l.append(row['#CHROM'])
+        info = pd.DataFrame({'#CHROM': chrom_l, 'POS': pos_l, 'END': end_l})
+        for chrom, sub in info.groupby('#CHROM'):
+            p = sub['POS'].to_numpy(dtype=np.int64)
+            e = sub['END'].to_numpy(dtype=np.int64)
+            # Expand index spans for offset-stage candidate generation.
+            pad = 1000
+            by_chrom[chrom] = (IntervalIndex(p - pad, e + pad), sub.index.to_numpy())
+        return by_chrom
+
+    for si, (df, name) in enumerate(zip(dfs, sample_names)):
+        if df.shape[0] == 0:
+            continue
+        if si == 0 or not leads:
+            for ri in range(df.shape[0]):
+                leads.append((si, ri))
+                support.append([_self_support(name, df.iloc[ri])])
+            continue
+
+        index_by_chrom = rebuild_index()
+        claimed = set()  # leads claimed by this source
+
+        pos_n, end_n = _notional_span(df)
+        for ri in range(df.shape[0]):
+            row = df.iloc[ri]
+            chrom = row['#CHROM']
+            hit = None
+            if chrom in index_by_chrom:
+                iidx, lead_ids = index_by_chrom[chrom]
+                cand = iidx.overlap_indices(int(pos_n[ri]) - 1000, int(end_n[ri]) + 1000)
+                best = None
+                for c in cand:
+                    li = int(lead_ids[c])
+                    if li in claimed:
+                        continue
+                    lsi, lri = leads[li]
+                    lead_row = dfs[lsi].iloc[lri]
+                    m = _match_pair(lead_row, row, strat)
+                    if m is None:
+                        continue
+                    key = (m[0], -m[1])  # higher RO, then smaller offset
+                    if best is None or key > best[0]:
+                        best = (key, li, m)
+                if best is not None:
+                    hit = (best[1], best[2])
+
+            if hit is None:
+                leads.append((si, ri))
+                support.append([_self_support(name, row)])
+            else:
+                li, (ro, offset, szro, offsz, match_val) = hit
+                claimed.add(li)
+                support[li].append((name, row['ID'], ro, offset, szro, offsz, match_val))
+
+    # Build output table from lead rows.
+    out_rows = []
+    for li, (si, ri) in enumerate(leads):
+        row = dfs[si].iloc[ri].copy()
+        sup = support[li]
+        row['MERGE_SAMPLES'] = ','.join(s[0] for s in sup)
+        row['MERGE_VARIANTS'] = ','.join(str(s[1]) for s in sup)
+        row['MERGE_RO'] = ','.join(_fmt(s[2]) for s in sup)
+        row['MERGE_OFFSET'] = ','.join(str(int(s[3])) for s in sup)
+        row['MERGE_SZRO'] = ','.join(_fmt(s[4]) for s in sup)
+        row['MERGE_OFFSZ'] = ','.join(_fmt(s[5]) for s in sup)
+        row['MERGE_MATCH'] = ','.join(_fmt(s[6]) for s in sup)
+        row['MERGE_SRC'] = sample_names[si]
+        row['MERGE_SRC_ID'] = row['ID']
+        out_rows.append(row)
+
+    if not out_rows:
+        cols = list(dfs[0].columns) if dfs else []
+        cols += ['MERGE_SAMPLES', 'MERGE_VARIANTS', 'MERGE_RO', 'MERGE_OFFSET',
+                 'MERGE_SZRO', 'MERGE_OFFSZ', 'MERGE_MATCH', 'MERGE_SRC', 'MERGE_SRC_ID']
+        return pd.DataFrame([], columns=cols)
+
+    out = pd.DataFrame(out_rows)
+    out = out.sort_values(['#CHROM', 'POS', 'END', 'ID']).reset_index(drop=True)
+    return out
+
+
+def _fmt(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return 'NA'
+    return f'{v:.4g}'
+
+
+def _self_support(name, row):
+    return (name, row['ID'], 1.0, 0, 1.0, 0.0, 1.0)
+
+
+def _match_pair(lead, cand, strat):
+    """Test whether cand matches lead under the strategy.
+
+    :return: (ro, offset, szro, offsz, match_identity) or None.
+    """
+    if lead.get('SVTYPE', None) != cand.get('SVTYPE', None):
+        return None
+
+    if strat.engine == 'nrsnv':
+        if lead['POS'] != cand['POS'] or lead['#CHROM'] != cand['#CHROM']:
+            return None
+        if str(lead.get('REF', '')).upper() != str(cand.get('REF', '')).upper():
+            return None
+        if str(lead.get('ALT', '')).upper() != str(cand.get('ALT', '')).upper():
+            return None
+        return (1.0, 0, 1.0, 0.0, 1.0)
+
+    svlen_l = int(lead.get('SVLEN', lead['END'] - lead['POS']))
+    svlen_c = int(cand.get('SVLEN', cand['END'] - cand['POS']))
+    if svlen_l <= 0 or svlen_c <= 0:
+        return None
+
+    is_ins = lead.get('SVTYPE', '') == 'INS'
+    pos_l, end_l = int(lead['POS']), int(lead['END'])
+    pos_c, end_c = int(cand['POS']), int(cand['END'])
+    if is_ins:
+        end_l = pos_l + svlen_l
+        end_c = pos_c + svlen_c
+
+    inter = max(0, min(end_l, end_c) - max(pos_l, pos_c))
+    union_span = max(end_l - pos_l, end_c - pos_c)
+    ro = inter / union_span if union_span else 0.0
+
+    offset = min(abs(pos_l - pos_c), abs(end_l - end_c))
+    szro = min(svlen_l, svlen_c) / max(svlen_l, svlen_c)
+    offsz = offset / min(svlen_l, svlen_c)
+
+    matched = False
+    for stage, params in strat.stages:
+        if stage == 'ro':
+            if ro >= params[0]:
+                matched = True
+                break
+        elif stage == 'szro':
+            p, dist, prop = (list(params) + [None, None])[:3]
+            limit = dist if dist is not None else np.inf
+            if prop is not None:
+                limit = min(limit, prop * min(svlen_l, svlen_c))
+            if szro >= p and offset <= limit:
+                matched = True
+                break
+        elif stage == 'exact':
+            if pos_l == pos_c and end_l == end_c:
+                matched = True
+                break
+    if not matched:
+        return None
+
+    match_val = np.nan
+    if strat.match_seq:
+        seq_l = str(lead.get('SEQ', '') or '')
+        seq_c = str(cand.get('SEQ', '') or '')
+        if seq_l and seq_c:
+            match_val = _seq_identity(seq_l.upper(), seq_c.upper())
+            if match_val < MATCH_IDENTITY:
+                return None
+        else:
+            match_val = np.nan  # no sequence available (e.g. INV without SEQ)
+
+    return (ro, offset, szro, offsz, match_val)

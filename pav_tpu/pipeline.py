@@ -1,0 +1,321 @@
+"""The engine: one in-memory pipeline replacing the reference's Snakemake DAG.
+
+Stage graph (reference call stack: SURVEY.md §3.1), executed per sample:
+
+  ingest -> align (native aligner) -> trim-qry -> trim-qryref -> depth
+         -> cigar calls (+TRIM filter vs trimmed bounds)
+         -> large-SV scan -> inversion flag + scan
+         -> integrate + callable regions (per haplotype)
+         -> haplotype merge -> VCF
+
+Data flows in memory as DataFrames/SeqStores; artifacts are written to the run
+directory at stage boundaries for inspection and resume (the reference's
+file-target checkpointing, SURVEY.md §5-checkpoint, kept only at the edges).
+"""
+
+import io as _io
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+from . import constants, seqcodec, vcf as vcf_mod
+from .align import cigar as cg
+from .align.aligner import Aligner
+from .align.lift import AlignLift
+from .align.table import depth_table, finalize_align_table
+from .align.trim import trim_alignments
+from .assembly_table import get_hap_list, load_haplotype_seqs, read_assembly_table, get_asm_config_override
+from .call import density as dens
+from .call import integrate, inv as inv_mod, inv_flag, largesv
+from .call.cigar_calls import make_insdel_snv_calls
+from .call.integrate import callable_regions, get_merge_params, integrate_sources, merge_haplotypes
+from .config import Config, load_config, override_config
+from .io.fasta import SeqStore
+from .kmer import KmerUtil
+from .regions import Region
+from .util import build_interval_index_by_chrom
+
+
+class HaplotypeResult:
+    """Per-haplotype intermediate artifacts."""
+
+    def __init__(self):
+        self.align_none = None
+        self.align_qry = None
+        self.align_qryref = None
+        self.depth_qry = None
+        self.df_snv = None
+        self.df_insdel = None
+        self.df_lg_ins = None
+        self.df_lg_del = None
+        self.df_lg_inv = None
+        self.df_inv = None
+        self.df_flag = None
+        self.callable = None
+        self.integrated = None  # {varsvtype: (pass, fail)}
+
+
+class Pipeline:
+    """End-to-end variant calling engine for one reference + assembly set."""
+
+    def __init__(self, ref, config=None, run_dir=None, log=None):
+        """
+        :param ref: Reference SeqStore or FASTA path.
+        :param config: Config/dict of parameters (see pav_tpu.config.DEFAULTS).
+        :param run_dir: Optional artifact directory.
+        """
+        self.config = config if isinstance(config, Config) else load_config(config)
+        self.ref_store = ref if isinstance(ref, SeqStore) else SeqStore.from_file(ref)
+        self.run_dir = run_dir
+        self.log = log if log is not None else sys.stderr
+        if run_dir:
+            os.makedirs(run_dir, exist_ok=True)
+
+        self.ref_info = vcf_mod.ref_info_table(self.ref_store)
+        self.n_gaps = self.ref_store.n_gap_table()
+        self.n_index = (build_interval_index_by_chrom(self.n_gaps)
+                        if self.n_gaps.shape[0] else {})
+        self._aligner = None
+
+    # ---------------------------------------------------------------- stages
+
+    @property
+    def aligner(self):
+        if self._aligner is None:
+            self._aligner = Aligner(self.ref_store, self.config)
+        return self._aligner
+
+    def _logmsg(self, msg):
+        self.log.write(f'[pav_tpu] {msg}\n')
+        self.log.flush()
+
+    def run_haplotype(self, qry_store, hap, config=None):
+        """Run alignment through integration for one haplotype."""
+        cfg = config or self.config
+        res = HaplotypeResult()
+
+        self._logmsg(f'{hap}: aligning {len(qry_store.names())} contigs '
+                     f'({qry_store.total_bp() / 1e6:.2f} Mbp)')
+        df_align = self.aligner.align_store(qry_store, hap)
+        res.align_none = finalize_align_table(
+            df_align, batch_count=int(cfg.get('cigar_batch_count', 10)))
+
+        qry_fai = qry_store.fai()
+        min_trim = int(cfg.get('min_trim_tig_len', 1000))
+        redundant = bool(cfg.get('redundant_callset', False))
+
+        self._logmsg(f'{hap}: trimming {res.align_none.shape[0]} records')
+        res.align_qry = trim_alignments(res.align_none, min_trim, qry_fai, mode='tig')
+        res.align_qryref = trim_alignments(
+            res.align_qry, min_trim, qry_fai, match_tig=redundant, mode='ref')
+
+        res.depth_qry = depth_table(res.align_qry, self.ref_store.fai())
+
+        # CIGAR calls on untrimmed records; TRIM filter against trimmed bounds
+        # (reference: rules/call.snakefile:792-846).
+        self._logmsg(f'{hap}: CIGAR variant extraction')
+        df_snv, df_insdel = make_insdel_snv_calls(
+            res.align_none, self.ref_store, qry_store, hap, version_ids=False)
+
+        trim_bounds = res.align_qryref.set_index('INDEX')[['POS', 'END']].astype(int)
+
+        def trim_filter(df):
+            if df.shape[0] == 0:
+                df['FILTER'] = pd.Series(dtype=object)
+                return df
+            sub = trim_bounds.reindex(df['ALIGN_INDEX'].astype(int), fill_value=-1)
+            keep = ((df['POS'].to_numpy() > sub['POS'].to_numpy())
+                    & (df['END'].to_numpy() < sub['END'].to_numpy()))
+            df = df.copy()
+            df['FILTER'] = np.where(keep, 'PASS', 'TRIM')
+            return df
+
+        res.df_snv = trim_filter(df_snv)
+        res.df_insdel = trim_filter(df_insdel)
+
+        # Large SV scan on fully-trimmed alignments.
+        self._logmsg(f'{hap}: alignment-truncating SV scan')
+        log_buf = _io.StringIO()
+        res.df_lg_ins, res.df_lg_del, res.df_lg_inv = largesv.scan_for_events(
+            res.align_qryref, self.ref_store, qry_store, hap,
+            k_size=int(cfg.get('inv_k_size', 31)),
+            n_index=self.n_index, log=log_buf,
+            max_qry_dist_prop=float(cfg.get('lg_max_qry_dist_prop', 1.0)),
+            max_ref_dist_prop=float(cfg.get('lg_max_ref_dist_prop', 3.0)),
+            max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
+            version_ids=True)
+
+        # Inversion flagging from CIGAR calls.
+        self._logmsg(f'{hap}: inversion flagging and density scan')
+        res.df_flag = inv_flag.merge_flagged_loci(
+            inv_flag.flag_insdel_cluster(
+                res.df_insdel, 'sv',
+                flank_cluster=int(cfg.get('inv_sig_insdel_cluster_flank', 2)),
+                flank_merge=int(cfg.get('inv_sig_insdel_merge_flank', 2000))),
+            inv_flag.flag_insdel_cluster(
+                res.df_insdel, 'indel',
+                flank_cluster=int(cfg.get('inv_sig_insdel_cluster_flank', 2)),
+                flank_merge=int(cfg.get('inv_sig_insdel_merge_flank', 2000)),
+                cluster_min_svlen=int(cfg.get('inv_sig_cluster_svlen_min', 4))),
+            inv_flag.flag_cluster(
+                res.df_insdel, 'indel',
+                cluster_win=int(cfg.get('inv_sig_cluster_win', 200)),
+                cluster_win_min=int(cfg.get('inv_sig_cluster_win_min', 500)),
+                cluster_min_indel=int(cfg.get('inv_sig_cluster_indel_min', 10))),
+            inv_flag.flag_cluster(
+                res.df_snv, 'snv',
+                cluster_win=int(cfg.get('inv_sig_cluster_win', 200)),
+                cluster_win_min=int(cfg.get('inv_sig_cluster_win_min', 500)),
+                cluster_min_snv=int(cfg.get('inv_sig_cluster_snv_min', 20))),
+            flank=int(cfg.get('inv_sig_merge_flank', 500)),
+            batch_count=int(cfg.get('inv_sig_batch_count', 60)),
+            inv_sig_filter=cfg.get('inv_sig_filter', 'svindel'))
+
+        res.df_inv = self._scan_flagged_inversions(res, qry_store, hap, cfg, log_buf)
+
+        # Callable regions.
+        res.callable = callable_regions(
+            res.align_qryref, res.df_lg_del, res.df_lg_ins, res.df_lg_inv,
+            flank=int(cfg.get('callable_flank', 500)))
+
+        # Integrate.
+        self._logmsg(f'{hap}: integrating call sources')
+        res.integrated = integrate_sources(
+            res.df_insdel, res.df_snv, res.df_lg_ins, res.df_lg_del,
+            res.df_lg_inv, res.df_inv, res.depth_qry, cfg)
+        return res
+
+    def _scan_flagged_inversions(self, res, qry_store, hap, cfg, log_buf):
+        """Scan accepted flagged regions for inversions
+        (reference: rules/call_inv.snakefile:115-311)."""
+        k_util = KmerUtil(int(cfg.get('inv_k_size', 31)))
+        align_lift = AlignLift(res.align_qryref, qry_store.fai())
+        id_set = set()
+        rows = []
+        flags = res.df_flag.loc[res.df_flag['TRY_INV']] if res.df_flag.shape[0] else res.df_flag
+        for _, row in flags.iterrows():
+            region_flag = Region(row['#CHROM'], row['POS'], row['END'])
+            try:
+                inv_call = inv_mod.scan_for_inv(
+                    region_flag, self.ref_store, qry_store, align_lift, k_util,
+                    n_index=self.n_index,
+                    max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
+                    log=log_buf,
+                    min_exp_count=int(cfg.get('inv_min_expand_count', 1)))
+            except RuntimeError as ex:
+                log_buf.write(f'RuntimeError in scan_for_inv(): {ex}\n')
+                inv_call = None
+            if inv_call is None or inv_call.id in id_set:
+                continue
+            seq = qry_store.fetch_region(inv_call.region_tig_outer)
+            from .util import collapse_to_set
+            align_index = ','.join(sorted(collapse_to_set(
+                (inv_call.region_ref_outer.pos_aln_index,
+                 inv_call.region_ref_outer.end_aln_index,
+                 inv_call.region_ref_inner.pos_aln_index,
+                 inv_call.region_ref_inner.end_aln_index),
+                to_type=str) - {'None'}))
+            rows.append((
+                inv_call.region_ref_outer.chrom,
+                inv_call.region_ref_outer.pos,
+                inv_call.region_ref_outer.end,
+                inv_call.id, 'INV', inv_call.svlen, hap,
+                inv_call.region_tig_outer.to_base1_string(),
+                '-' if inv_call.region_tig_outer.is_rev else '+',
+                0,
+                inv_call.region_ref_inner.to_base1_string(),
+                inv_call.region_tig_inner.to_base1_string(),
+                inv_call.region_ref_discovery.to_base1_string(),
+                inv_call.region_tig_discovery.to_base1_string(),
+                inv_call.region_flag.region_id(), row['TYPE'],
+                align_index, constants.CALL_SOURCE_FLAG_DEN, 'PASS',
+                seqcodec.decode(seq)))
+            id_set.add(inv_call.id)
+        df = pd.DataFrame(rows, columns=largesv.INV_COLUMNS)
+        if df.shape[0]:
+            df = df.sort_values(['#CHROM', 'POS', 'END', 'ID']).reset_index(drop=True)
+        return df
+
+    # ------------------------------------------------------------- sample run
+
+    def run_sample(self, asm_name, hap_inputs, config=None, write_vcf=True):
+        """Run the full pipeline for one sample.
+
+        :param hap_inputs: {hap: SeqStore or path-spec string}.
+
+        :return: dict with per-hap results, merged tables, and the VCF path.
+        """
+        cfg = config or self.config
+        hap_results = {}
+        for hap, inp in hap_inputs.items():
+            store = inp if isinstance(inp, SeqStore) else load_haplotype_seqs(inp, asm_name, hap)
+            if not store.names():
+                self._logmsg(f'{asm_name}/{hap}: no input sequence, skipping haplotype')
+                continue
+            hap_results[hap] = self.run_haplotype(store, hap, cfg)
+
+        hap_list = list(hap_results.keys())
+        merged = {}
+        for varsvtype in ('svindel_ins', 'svindel_del', 'sv_inv', 'snv_snv'):
+            svtype = varsvtype.split('_')[1]
+            strategy = get_merge_params(svtype, cfg)
+            for tier_i, tier in enumerate(('pass', 'fail')):
+                bed_list = [hap_results[h].integrated[varsvtype][tier_i] for h in hap_list]
+                callable_list = [hap_results[h].callable for h in hap_list]
+                self._logmsg(f'{asm_name}: merging {varsvtype} [{tier}] across {hap_list}')
+                merged[(varsvtype, tier)] = merge_haplotypes(
+                    bed_list, callable_list, hap_list, strategy)
+
+        vcf_path = None
+        if write_vcf:
+            out_dir = self.run_dir or '.'
+            prefix = cfg.get('vcf_prefix', '') or ''
+            vcf_path = os.path.join(out_dir, f'{prefix}{asm_name}.vcf.gz')
+            self._logmsg(f'{asm_name}: writing VCF {vcf_path}')
+            vcf_mod.write_merged_vcf(
+                asm_name,
+                {key: df for key, df in merged.items()},
+                vcf_path, self.ref_store, self.ref_info)
+
+        if self.run_dir:
+            self._write_artifacts(asm_name, hap_results, merged)
+
+        return {'haps': hap_results, 'merged': merged, 'vcf': vcf_path}
+
+    def _write_artifacts(self, asm_name, hap_results, merged):
+        base = os.path.join(self.run_dir, asm_name)
+        os.makedirs(base, exist_ok=True)
+        for hap, res in hap_results.items():
+            hdir = os.path.join(base, hap)
+            os.makedirs(hdir, exist_ok=True)
+            for name, df in (
+                    ('align_trim-none', res.align_none),
+                    ('align_trim-qry', res.align_qry),
+                    ('align_trim-qryref', res.align_qryref),
+                    ('depth_qry', res.depth_qry),
+                    ('snv_snv', res.df_snv), ('svindel_insdel', res.df_insdel),
+                    ('lg_ins', res.df_lg_ins), ('lg_del', res.df_lg_del),
+                    ('lg_inv', res.df_lg_inv), ('inv_flag', res.df_flag),
+                    ('sv_inv', res.df_inv), ('callable', res.callable)):
+                if df is not None:
+                    df.to_csv(os.path.join(hdir, f'{name}.tsv.gz'), sep='\t',
+                              index=False, compression='gzip')
+        for (varsvtype, tier), df in merged.items():
+            df.to_csv(os.path.join(base, f'merged_{varsvtype}_{tier}.tsv.gz'),
+                      sep='\t', index=False, compression='gzip')
+
+
+def run(ref_path, asm_table_path, config=None, run_dir='pav_run', samples=None):
+    """CLI-style entry: run all (or selected) samples of an assembly table."""
+    cfg = load_config(config)
+    asm_table = read_assembly_table(asm_table_path)
+    pipeline = Pipeline(ref_path, cfg, run_dir=run_dir)
+    results = {}
+    for asm_name in (samples or asm_table.index):
+        local_cfg = override_config(cfg, get_asm_config_override(asm_table, asm_name))
+        haps = get_hap_list(asm_table, asm_name)
+        hap_inputs = {h: asm_table.loc[asm_name, f'HAP_{h}'] for h in haps}
+        results[asm_name] = pipeline.run_sample(asm_name, hap_inputs, config=local_cfg)
+    return results

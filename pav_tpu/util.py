@@ -118,6 +118,18 @@ class IntervalIndex:
             i -= 1
         return self.order[np.asarray(hits[::-1], dtype=np.int64)] if hits else np.zeros(0, dtype=np.int64)
 
+    def any_contains(self, qs, qe):
+        """True if any interval fully contains [qs, qe]."""
+        if len(self.starts) == 0:
+            return False
+        hi = np.searchsorted(self.starts, qs, side='right')
+        i = hi - 1
+        while i >= 0 and self.max_end_prefix[i] >= qe:
+            if self.ends[i] >= qe:
+                return True
+            i -= 1
+        return False
+
     def any_overlap(self, qs, qe):
         if len(self.starts) == 0 or qe <= qs:
             return False

@@ -52,13 +52,12 @@ def collect_anchors(qry_codes, index, max_occ=64):
 
 
 def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
-                max_gap_diff=10000, min_chain_score=100, min_anchors=3,
-                max_overlap_frac=0.5):
-    """Seed, chain, and select primary chains for one contig.
+                max_gap_diff=10000, min_chain_score=100, min_anchors=3):
+    """Seed and chain one contig.
 
-    :return: List of Chain, sorted by score descending, overlap-filtered so
-        accepted chains cover mostly-disjoint query intervals (split alignments
-        across SVs survive; repeat-induced secondaries are dropped).
+    :return: List of all Chains above min_chain_score, sorted by score
+        descending. Primary selection is the caller's job (the aligner core
+        runs a two-pass original-frame selection).
     """
     k = index.k
     qpos, rpos, chrom, rev = collect_anchors(qry_codes, index, max_occ)
@@ -93,16 +92,5 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
         idx = np.array(path)
         chains.append(Chain(chrom[i], bool(rev[i]), qpos[idx], rpos[idx], scores[i]))
 
-    # Primary selection by query-span overlap.
     chains.sort(key=lambda c: -c.score)
-    accepted = []
-    spans = []
-    for c in chains:
-        lo, hi = c.q_span()
-        hi += k
-        length = hi - lo
-        overlap = sum(max(0, min(hi, e) - max(lo, s)) for s, e in spans)
-        if overlap <= max_overlap_frac * length:
-            accepted.append(c)
-            spans.append((lo, hi))
-    return accepted
+    return chains

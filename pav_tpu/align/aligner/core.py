@@ -5,6 +5,14 @@ All inter-anchor gap segments from every contig are gathered first, bucketed by
 (pav_tpu.ops.affine_dp), then stitched back into per-chain CIGARs — maximizing
 device batch occupancy instead of aligning contig-by-contig.
 
+Alignment-breaking: a long inter-anchor segment whose bases are effectively
+random (pre-DP equal-length mismatch check, or post-DP identity check) splits
+the chain into separate alignment records — the analog of minimap2's Z-drop,
+and the mechanism that produces the alignment-truncating signatures (large
+INS/DEL and +,-,+ inversions) the downstream callers depend on. A second chain
+-selection pass then maps query regions (e.g. inverted cores) left uncovered by
+the primary chains.
+
 Produces the reference's alignment-table records directly (no SAM round-trip);
 schema: API_ALIGN.md:31-64.
 """
@@ -23,6 +31,10 @@ from .index import MinimizerIndex
 
 _MIN_WIDTH = 65
 _DIRECT_MISMATCH_FRAC = 0.05
+_BREAK_MIN_LEN = 400        # segments at least this long can break an alignment
+_BREAK_MISMATCH_FRAC = 0.30  # pre-DP: equal-length segment mismatch fraction
+_BREAK_MIN_IDENTITY = 0.45   # post-DP: matched fraction of the longer side
+_MIN_RECORD_ALIGNED = 50     # drop split records with fewer aligned bases
 
 
 def _bucket_pow2(x, lo=32, hi=1 << 15):
@@ -33,13 +45,12 @@ def _bucket_pow2(x, lo=32, hi=1 << 15):
 
 
 class _Segment:
-    __slots__ = ('chain_id', 'slot', 'q', 'r', 'kind', 'result')
+    __slots__ = ('q', 'r', 'kind', 'result')
 
-    def __init__(self, chain_id, slot, q, r):
-        self.chain_id = chain_id
-        self.slot = slot
+    def __init__(self, q, r, kind='dp'):
         self.q = q
         self.r = r
+        self.kind = kind  # 'dp' | 'break'
         self.result = None
 
 
@@ -67,54 +78,119 @@ class Aligner:
     # ------------------------------------------------------------------ align
 
     def align_store(self, qry_store, hap, batch_count=10, min_chain_score=None):
-        """Align every contig of a haplotype store; return the alignment table
-        (trim-none tier, CALL_BATCH/TRIM fields not yet added)."""
+        """Align every contig of a haplotype store; returns the alignment table
+        (trim-none tier; CALL_BATCH/TRIM fields added by finalize_align_table)."""
         min_score = self.min_chain_score if min_chain_score is None else min_chain_score
 
-        chain_meta = []   # per chain: dict with contig info + parts layout
-        segments = []     # DP jobs across all chains
+        chain_meta = []
+        segments = []
 
         for qry_name in qry_store.names():
             codes = qry_store.get(qry_name)
+            qlen = len(codes)
             chains = find_chains(
                 codes, self.index, max_occ=self.max_occ,
                 max_dist=self.chain_max_dist, max_gap_diff=self.chain_max_gap,
                 min_chain_score=min_score)
+
             oriented_cache = {}
-            for chain in chains:
-                if chain.is_rev not in oriented_cache:
-                    oriented_cache[chain.is_rev] = (
-                        seqcodec.revcomp(codes) if chain.is_rev else codes)
-                self._plan_chain(
-                    chain, qry_name, len(codes), oriented_cache[chain.is_rev],
-                    chain_meta, segments)
+
+            def oriented(is_rev):
+                if is_rev not in oriented_cache:
+                    oriented_cache[is_rev] = seqcodec.revcomp(codes) if is_rev else codes
+                return oriented_cache[is_rev]
+
+            # Pass 1: primary selection by original-frame query-span overlap.
+            accepted, spans = self._select(chains, qlen, [])
+            metas1 = [
+                self._plan_chain(c, qry_name, qlen, oriented(c.is_rev), segments)
+                for c in accepted
+            ]
+
+            # Coverage excluding break segments; pass 2 fills the gaps
+            # (e.g. the inverted core of a bridged inversion).
+            covered = []
+            for meta in metas1:
+                covered.extend(self._covered_spans(meta, segments, qlen))
+            remaining = [c for c in chains if c not in accepted]
+            accepted2, _ = self._select(remaining, qlen, covered)
+            for c in accepted2:
+                metas1.append(self._plan_chain(
+                    c, qry_name, qlen, oriented(c.is_rev), segments))
+
+            chain_meta.extend(metas1)
 
         self._run_segments(segments)
         return self._emit_table(chain_meta, segments, hap)
 
+    # -------------------------------------------------------------- selection
+
+    @staticmethod
+    def _orig_span(chain, qlen, k):
+        lo, hi = chain.q_span()
+        hi += k
+        if chain.is_rev:
+            return qlen - hi, qlen - lo
+        return lo, hi
+
+    def _select(self, chains, qlen, covered, max_overlap_frac=0.5):
+        """Greedy best-score-first selection of chains whose original-frame
+        query spans overlap accepted+covered spans by < max_overlap_frac."""
+        spans = list(covered)
+        accepted = []
+        for c in sorted(chains, key=lambda c: -c.score):
+            lo, hi = self._orig_span(c, qlen, self.k)
+            length = hi - lo
+            if length <= 0:
+                continue
+            overlap = sum(max(0, min(hi, e) - max(lo, s)) for s, e in spans)
+            if overlap <= max_overlap_frac * length:
+                accepted.append(c)
+                spans.append((lo, hi))
+        return accepted, spans
+
+    def _covered_spans(self, meta, segments, qlen):
+        """Original-frame query spans aligned by this chain, with break-segment
+        sub-spans removed."""
+        spans = []
+        q_cur = meta['q_start']
+        for part in meta['parts']:
+            if part[0] == 'cig':
+                adv_q = int(np.sum(part[1] * cg.CONSUMES_QRY[part[2]]))
+                spans.append((q_cur, q_cur + adv_q))
+                q_cur += adv_q
+            else:
+                seg = segments[part[1]]
+                if seg.kind != 'break':
+                    spans.append((q_cur, q_cur + len(seg.q)))
+                q_cur += len(seg.q)
+        out = []
+        for lo, hi in spans:
+            if hi <= lo:
+                continue
+            if meta['is_rev']:
+                lo, hi = qlen - hi, qlen - lo
+            out.append((lo, hi))
+        return out
+
     # ------------------------------------------------------------- chain plan
 
-    def _plan_chain(self, chain, qry_name, qlen, oriented, chain_meta, segments):
+    def _plan_chain(self, chain, qry_name, qlen, oriented, segments):
         """Decompose a chain into exact runs and DP segments; register jobs."""
         k = self.k
         ref = self.ref_store.get(self.index.chrom_names[chain.chrom_id])
         qpos, rpos = chain.qpos, chain.rpos
 
-        parts = []  # list of ('cig', lens, ops) or ('seg', segment_index)
-        chain_id = len(chain_meta)
+        parts = []
 
-        run_q = int(qpos[0])
-        run_r = int(rpos[0])
-        run_len = k  # current exact run covers [run_q, run_q + run_len)
+        run_len = k  # current exact run covers this many bases ending at cursor
 
         def close_run(cut=0):
-            nonlocal run_len
             eff = run_len - cut
             if eff > 0:
                 parts.append(('cig',
                               np.array([eff], dtype=np.int32),
                               np.array([cg.EQ], dtype=np.int8)))
-            run_len = eff
 
         for a in range(1, chain.n_anchors):
             q0, r0 = int(qpos[a - 1]), int(rpos[a - 1])
@@ -123,34 +199,25 @@ class Aligner:
             if dq == dr and dq <= k:
                 run_len += dq
                 continue
-            # Close the current run, shrinking it if the next anchor overlaps it.
             cut = max(0, k - dq, k - dr)
             close_run(cut)
             seg_q0 = q0 + k - cut
             seg_r0 = r0 + k - cut
-            sq = oriented[seg_q0:q1]
-            sr = ref[seg_r0:r1]
-            self._add_segment(chain_id, len(parts), sq, sr, parts, segments)
-            run_q, run_r, run_len = q1, r1, k
+            self._add_segment(oriented[seg_q0:q1], ref[seg_r0:r1], parts, segments)
+            run_len = k
 
         close_run(0)
 
-        q_start = int(qpos[0])
-        q_end = int(qpos[-1]) + k
-        r_start = int(rpos[0])
-        r_end = int(rpos[-1]) + k
-
-        chain_meta.append({
+        return {
             'qry_name': qry_name, 'qlen': qlen, 'is_rev': chain.is_rev,
             'chrom': self.index.chrom_names[chain.chrom_id],
-            'q_start': q_start, 'q_end': q_end,
-            'r_start': r_start, 'r_end': r_end,
+            'q_start': int(qpos[0]), 'r_start': int(rpos[0]),
             'score': chain.score, 'n_anchors': chain.n_anchors,
             'mapq': 60,
             'parts': parts,
-        })
+        }
 
-    def _add_segment(self, chain_id, slot, sq, sr, parts, segments):
+    def _add_segment(self, sq, sr, parts, segments):
         """Register one inter-anchor gap; fast paths avoid DP when possible."""
         lq, lr = len(sq), len(sr)
         if lq == 0 and lr == 0:
@@ -165,11 +232,18 @@ class Aligner:
             return
         if lq == lr:
             mism = (sq != sr) | (sq >= 4)
-            if mism.sum() <= max(2, _DIRECT_MISMATCH_FRAC * lq):
+            frac = mism.mean()
+            if frac <= max(2 / lq, _DIRECT_MISMATCH_FRAC):
                 lens, ops = _compare_run(sq, sr)
                 parts.append(('cig', lens, ops))
                 return
-        seg = _Segment(chain_id, slot, sq, sr)
+            if lq >= _BREAK_MIN_LEN and frac >= _BREAK_MISMATCH_FRAC:
+                # Effectively unalignable (Z-drop analog): break the record here.
+                seg = _Segment(sq, sr, kind='break')
+                parts.append(('seg', len(segments)))
+                segments.append(seg)
+                return
+        seg = _Segment(sq, sr)
         parts.append(('seg', len(segments)))
         segments.append(seg)
 
@@ -179,6 +253,8 @@ class Aligner:
         """Bucket DP jobs into static shapes and run batched kernel calls."""
         buckets = collections.defaultdict(list)
         for si, seg in enumerate(segments):
+            if seg.kind == 'break':
+                continue
             m, n = len(seg.q), len(seg.r)
             width = min(2 * abs(m - n) + _MIN_WIDTH, n + 1)
             width_b = _bucket_pow2(width, lo=_MIN_WIDTH, hi=1 << 15) + 1
@@ -187,7 +263,6 @@ class Aligner:
             buckets[(m_b, max(width_b, _MIN_WIDTH))].append(si)
 
         for (m_b, width_b), idx_list in sorted(buckets.items()):
-            # Chunk so traceback tensors stay bounded (~256 MB).
             max_batch = max(1, (256 << 20) // max(m_b * width_b, 1))
             for lo in range(0, len(idx_list), max_batch):
                 chunk = idx_list[lo:lo + max_batch]
@@ -195,60 +270,131 @@ class Aligner:
                 try:
                     results = self.dp.align_batch(pairs, width=width_b)
                 except RuntimeError:
-                    # Band too narrow for some path: retry whole chunk full-width.
                     full_w = max(len(r) for _, r in pairs) + 1
                     results = self.dp.align_batch(pairs, width=full_w)
                 for i, res in zip(chunk, results):
                     segments[i].result = res
 
+        # Post-DP break detection: long segments that still aligned terribly.
+        for seg in segments:
+            if seg.kind == 'break' or seg.result is None:
+                continue
+            # Only balanced segments can break: an unbalanced segment is a clean
+            # large indel and must stay inline (reference aligners inline these
+            # within the -r bandwidth: rules/align.snakefile:188).
+            if min(len(seg.q), len(seg.r)) >= _BREAK_MIN_LEN:
+                lens, ops = seg.result
+                matched = int(np.sum(lens[ops == cg.EQ]))
+                if matched < _BREAK_MIN_IDENTITY * min(len(seg.q), len(seg.r)):
+                    seg.kind = 'break'
+
     # ----------------------------------------------------------------- output
 
     def _emit_table(self, chain_meta, segments, hap):
         rows = []
-        for index, meta in enumerate(chain_meta):
-            lens_list, ops_list = [], []
-            if meta['q_start'] > 0:
-                lens_list.append(np.array([meta['q_start']], dtype=np.int32))
-                ops_list.append(np.array([cg.H], dtype=np.int8))
-            for part in meta['parts']:
-                if part[0] == 'cig':
-                    lens_list.append(part[1])
-                    ops_list.append(part[2])
-                else:
-                    res = segments[part[1]].result
-                    if res is None:
-                        raise AssertionError('unresolved segment part')
-                    lens_list.append(res[0])
-                    ops_list.append(res[1])
-            tail = meta['qlen'] - meta['q_end']
-            if tail > 0:
-                lens_list.append(np.array([tail], dtype=np.int32))
-                ops_list.append(np.array([cg.H], dtype=np.int8))
+        for meta in chain_meta:
+            for rec in self._chain_records(meta, segments, hap):
+                rows.append(rec)
 
+        df = pd.DataFrame(rows, columns=ALIGN_COLUMNS) if rows else empty_align_table()
+        df['INDEX'] = np.arange(df.shape[0])
+        df = sort_align_table(df)
+        return df
+
+    def _chain_records(self, meta, segments, hap):
+        """Emit one or more alignment records for a chain, splitting at break
+        segments."""
+        qlen = meta['qlen']
+        is_rev = meta['is_rev']
+        flag = 0x10 if is_rev else 0x0
+
+        q_cur = meta['q_start']
+        r_cur = meta['r_start']
+        rec_q0 = q_cur
+        rec_r0 = r_cur
+        lens_list, ops_list = [], []
+
+        records = []
+
+        def close_record(q_end, r_end):
+            if not lens_list:
+                return
             lens = np.concatenate(lens_list)
             ops = np.concatenate(ops_list)
             lens, ops = cg.merge_adjacent(lens, ops)
+            aligned_q = int(np.sum(lens * cg.CONSUMES_QRY[ops]))
+            if aligned_q < _MIN_RECORD_ALIGNED:
+                return
+            # Strip leading/trailing I/D (a record must start and end aligned).
+            i0, i1 = 0, len(ops)
+            lead_q = lead_r = tail_q = tail_r = 0
+            while i0 < i1 and ops[i0] in (cg.I, cg.D):
+                if ops[i0] == cg.I:
+                    lead_q += int(lens[i0])
+                else:
+                    lead_r += int(lens[i0])
+                i0 += 1
+            while i1 > i0 and ops[i1 - 1] in (cg.I, cg.D):
+                if ops[i1 - 1] == cg.I:
+                    tail_q += int(lens[i1 - 1])
+                else:
+                    tail_r += int(lens[i1 - 1])
+                i1 -= 1
+            lens, ops = lens[i0:i1], ops[i0:i1]
+            if len(ops) == 0:
+                return
+            q0 = rec_q0 + lead_q
+            r0 = rec_r0 + lead_r
+            q1 = q_end - tail_q
+            r1 = r_end - tail_r
 
-            qlen = meta['qlen']
-            if meta['is_rev']:
-                qry_pos = qlen - meta['q_end']
-                qry_end = qlen - meta['q_start']
-            else:
-                qry_pos = meta['q_start']
-                qry_end = meta['q_end']
+            full_lens, full_ops = [], []
+            if q0 > 0:
+                full_lens.append(np.array([q0], dtype=np.int32))
+                full_ops.append(np.array([cg.H], dtype=np.int8))
+            full_lens.append(lens)
+            full_ops.append(ops)
+            if qlen - q1 > 0:
+                full_lens.append(np.array([qlen - q1], dtype=np.int32))
+                full_ops.append(np.array([cg.H], dtype=np.int8))
+            lens_f = np.concatenate(full_lens)
+            ops_f = np.concatenate(full_ops)
 
-            flag = 0x10 if meta['is_rev'] else 0x0
-            rows.append((
-                meta['chrom'], meta['r_start'], meta['r_end'],
-                index, meta['qry_name'],
+            qry_pos = qlen - q1 if is_rev else q0
+            qry_end = qlen - q0 if is_rev else q1
+            records.append((
+                meta['chrom'], r0, r1,
+                -1, meta['qry_name'],
                 qry_pos, qry_end, qlen,
                 'NA', 'NA', meta['mapq'],
-                meta['is_rev'], f'0x{flag:04x}',
-                hap, cg.to_string(lens, ops),
+                is_rev, f'0x{flag:04x}',
+                hap, cg.to_string(lens_f, ops_f),
             ))
 
-        df = pd.DataFrame(rows, columns=ALIGN_COLUMNS) if rows else empty_align_table()
-        return sort_align_table(df)
+        for part in meta['parts']:
+            if part[0] == 'cig':
+                lens, ops = part[1], part[2]
+                lens_list.append(lens)
+                ops_list.append(ops)
+                q_cur += int(np.sum(lens * cg.CONSUMES_QRY[ops]))
+                r_cur += int(np.sum(lens * cg.CONSUMES_REF[ops]))
+            else:
+                seg = segments[part[1]]
+                if seg.kind == 'break':
+                    close_record(q_cur, r_cur)
+                    q_cur += len(seg.q)
+                    r_cur += len(seg.r)
+                    rec_q0, rec_r0 = q_cur, r_cur
+                    lens_list, ops_list = [], []
+                else:
+                    lens, ops = seg.result
+                    lens_list.append(lens.astype(np.int32))
+                    ops_list.append(ops)
+                    q_cur += len(seg.q)
+                    r_cur += len(seg.r)
+
+        close_record(q_cur, r_cur)
+        return records
 
 
 def _compare_run(sq, sr):

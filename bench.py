@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end contig Mbp aligned+called per second on one chip.
+
+Synthesizes a diploid assembly against a synthetic reference (planted SNVs,
+indels, SVs, and an inversion at human-like densities), runs the full engine
+(align -> trim -> call -> integrate -> merge -> VCF), and reports throughput.
+
+Baseline: the reference pipeline processes ~6 Gbp diploid in ~5 h on a 32-core
+host ~= 0.33 Mbp/s (BASELINE.md, derived from /root/reference/README.md:137).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mbp/s", "vs_baseline": N/0.33}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_MBP_S = 0.33
+
+REF_MBP = float(os.environ.get('PAV_BENCH_REF_MBP', 4))
+SEED = 11
+
+
+def build_genome(ref_len, seed):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tests'))
+    from helpers import Mutator, random_seq
+
+    rng = np.random.default_rng(seed)
+    ref = random_seq(ref_len, rng)
+
+    def make_hap(seed2, with_inv):
+        rng2 = np.random.default_rng(seed2)
+        mut = Mutator(ref)
+        pos = 2000
+        inv_planted = False
+        while pos < ref_len - 20000:
+            r = rng2.random()
+            if r < 0.80:
+                mut.snv(pos, rng=rng2)          # ~1 SNV / 1.25 kb
+            elif r < 0.95:
+                ln = int(rng2.integers(1, 25))
+                if rng2.random() < 0.5:
+                    mut.ins(pos, random_seq(ln, rng2))
+                else:
+                    mut.dele(pos, ln)
+            elif r < 0.985:
+                ln = int(rng2.integers(50, 1500))
+                if rng2.random() < 0.5:
+                    mut.ins(pos, random_seq(ln, rng2))
+                else:
+                    mut.dele(pos, ln)
+            else:
+                if with_inv and not inv_planted and pos < ref_len - 40000:
+                    mut.inv(pos, int(rng2.integers(3000, 8000)))
+                    inv_planted = True
+            # Advance past the reference span the last event consumed.
+            pos = max(pos + int(rng2.integers(800, 1800)), mut.cursor + 200)
+        return mut.finish(), mut.truth
+
+    h1, t1 = make_hap(seed + 1, with_inv=False)
+    h2, t2 = make_hap(seed + 2, with_inv=True)
+    return ref, h1, h2, t1, t2
+
+
+def main():
+    from pav_tpu.io.fasta import SeqStore
+    from pav_tpu.pipeline import Pipeline
+
+    ref_len = int(REF_MBP * 1e6)
+    ref, h1, h2, t1, t2 = build_genome(ref_len, SEED)
+
+    ref_store = SeqStore({'chr1': ref})
+    contig_mbp = (len(h1) + len(h2)) / 1e6
+
+    # Warmup: small run compiles all kernel shape buckets.
+    wref, wh1, wh2, *_ = build_genome(300000, SEED + 99)
+    wpipe = Pipeline(SeqStore({'chr1': wref}), {'aligner_min_chain_score': 1000},
+                     log=open(os.devnull, 'w'))
+    wpipe.run_sample('warm', {'h1': SeqStore({'w1': wh1}), 'h2': SeqStore({'w2': wh2})},
+                     write_vcf=False)
+
+    pipeline = Pipeline(ref_store, {'aligner_min_chain_score': 1000},
+                        run_dir='/tmp/pav_bench_run', log=open(os.devnull, 'w'))
+
+    t0 = time.time()
+    result = pipeline.run_sample(
+        'bench', {'h1': SeqStore({'tig1': h1}), 'h2': SeqStore({'tig2': h2})})
+    elapsed = time.time() - t0
+
+    # Sanity: calls were actually produced.
+    n_snv = result['merged'][('snv_snv', 'pass')].shape[0]
+    n_indel = (result['merged'][('svindel_ins', 'pass')].shape[0]
+               + result['merged'][('svindel_del', 'pass')].shape[0])
+    assert n_snv > 100 and n_indel > 10, f'implausible callset: {n_snv} SNV, {n_indel} indel'
+
+    value = contig_mbp / elapsed
+    print(json.dumps({
+        'metric': 'contig_mbp_aligned_called_per_s',
+        'value': round(value, 4),
+        'unit': 'Mbp/s',
+        'vs_baseline': round(value / BASELINE_MBP_S, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

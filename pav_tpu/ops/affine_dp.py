@@ -36,6 +36,13 @@ DEFAULT_SCORING = {
 }
 
 
+def _next_pow2(x):
+    v = 1
+    while v < x:
+        v <<= 1
+    return v
+
+
 def gap_cost(g, scoring=DEFAULT_SCORING):
     """Two-piece affine gap cost (positive number)."""
     o1, o2 = scoring['gap_open']
@@ -187,8 +194,18 @@ class BandedAligner:
         if max_m == 0:
             return [_pure_gap(len(r), 'D') for _, r in pairs]
 
-        qpad = np.full((B, max_m), 4, dtype=np.int8)
-        rpad = np.full((B, max(max_n, 1)), 4, dtype=np.int8)
+        # Pad batch and lengths to power-of-two buckets: the kernel compiles
+        # once per (B, max_m, max_n, width) bucket instead of once per call.
+        B_pad = _next_pow2(max(B, 1))
+        max_m = _next_pow2(max_m)
+        max_n = _next_pow2(max(max_n, 1))
+        m = np.concatenate([m, np.ones(B_pad - B, dtype=np.int32)])
+        n = np.concatenate([n, np.ones(B_pad - B, dtype=np.int32)])
+
+        width = min(_next_pow2(int(width)) + 1, max_n + 1)
+
+        qpad = np.full((B_pad, max_m), 4, dtype=np.int8)
+        rpad = np.full((B_pad, max_n), 4, dtype=np.int8)
         for i, (qq, rr) in enumerate(pairs):
             qpad[i, :len(qq)] = qq
             rpad[i, :len(rr)] = rr

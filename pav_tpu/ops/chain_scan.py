@@ -80,8 +80,21 @@ def chain_scores(qpos, rpos, group, k, lookback=64, max_dist=50000,
     n = len(qpos)
     if n == 0:
         return np.zeros(0, dtype=np.float32), np.zeros(0, dtype=np.int64)
+
+    # Pad to a power-of-two scan length so XLA compiles once per bucket, not
+    # once per contig. Padding anchors carry group -9 and can never chain.
+    n_pad = 1
+    while n_pad < n:
+        n_pad <<= 1
+    qpos_p = np.zeros(n_pad, dtype=np.int32)
+    rpos_p = np.zeros(n_pad, dtype=np.int32)
+    group_p = np.full(n_pad, -9, dtype=np.int32)
+    qpos_p[:n] = qpos
+    rpos_p[:n] = rpos
+    group_p[:n] = group
+
     f, parent = _chain_scan(
-        jnp.asarray(qpos, dtype=jnp.int32), jnp.asarray(rpos, dtype=jnp.int32),
-        jnp.asarray(group, dtype=jnp.int32), int(lookback), int(k),
+        jnp.asarray(qpos_p), jnp.asarray(rpos_p), jnp.asarray(group_p),
+        int(lookback), int(k),
         float(max_dist), float(max_gap_diff), float(gap_scale))
-    return np.asarray(f), np.asarray(parent)
+    return np.asarray(f)[:n], np.asarray(parent)[:n]

@@ -53,13 +53,17 @@ def gaussian_density_states(state_mer, sigmas, n_states=3):
     n = len(state_mer)
     sigmas = np.asarray(sigmas, dtype=np.float64)
 
-    hist = np.zeros((n_states, n), dtype=np.float32)
+    # Pad the grid and kernel width to power-of-two buckets so XLA compiles a
+    # handful of FFT shapes total, not one per region.
+    n_pad = _next_pow2(max(n, 16))
+    hist = np.zeros((n_states, n_pad), dtype=np.float32)
     for s in range(n_states):
-        hist[s, state_mer == s] = 1.0
+        hist[s, np.nonzero(state_mer == s)[0]] = 1.0
 
     max_sigma = float(np.max(sigmas)) if len(sigmas) else 0.0
     half = int(np.ceil(_TRUNC_SIGMAS * max(max_sigma, 1.0)))
-    kw = 2 * half + 1
+    kw = 2 * (_next_pow2(half) if half > 1 else 1) + 1
+    half = kw // 2
     x = np.arange(-half, half + 1, dtype=np.float64)
 
     kernels = np.zeros((n_states, kw), dtype=np.float32)
@@ -68,9 +72,9 @@ def gaussian_density_states(state_mer, sigmas, n_states=3):
         if sg > 0 and np.any(state_mer == s):
             kernels[s] = (np.exp(-0.5 * (x / sg) ** 2) / (sg * np.sqrt(2 * np.pi))).astype(np.float32)
 
-    fft_len = _next_pow2(n + kw)
+    fft_len = _next_pow2(n_pad + kw)
     out = _conv_batch(jnp.asarray(hist), jnp.asarray(kernels), fft_len)
-    return np.asarray(out)
+    return np.asarray(out)[:, :n]
 
 
 def scott_sigmas(state_mer, bw_factor, n_states=3):

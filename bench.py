@@ -71,6 +71,9 @@ def build_genome(ref_len, seed):
 def main():
     from pav_tpu.io.fasta import SeqStore
     from pav_tpu.pipeline import Pipeline
+    from pav_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
 
     ref_len = int(REF_MBP * 1e6)
     ref, h1, h2, t1, t2 = build_genome(ref_len, SEED)

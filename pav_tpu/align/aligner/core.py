@@ -136,18 +136,25 @@ class Aligner:
     def _select(self, chains, qlen, covered, max_overlap_frac=0.5):
         """Greedy best-score-first selection of chains whose original-frame
         query spans overlap accepted+covered spans by < max_overlap_frac."""
-        spans = list(covered)
+        spans = _coalesce_spans(list(covered))
+        lo_arr = np.array([s for s, _ in spans], dtype=np.int64)
+        hi_arr = np.array([e for _, e in spans], dtype=np.int64)
         accepted = []
         for c in sorted(chains, key=lambda c: -c.score):
             lo, hi = self._orig_span(c, qlen, self.k)
             length = hi - lo
             if length <= 0:
                 continue
-            overlap = sum(max(0, min(hi, e) - max(lo, s)) for s, e in spans)
+            if len(lo_arr):
+                overlap = int(np.maximum(
+                    0, np.minimum(hi_arr, hi) - np.maximum(lo_arr, lo)).sum())
+            else:
+                overlap = 0
             if overlap <= max_overlap_frac * length:
                 accepted.append(c)
-                spans.append((lo, hi))
-        return accepted, spans
+                lo_arr = np.append(lo_arr, lo)
+                hi_arr = np.append(hi_arr, hi)
+        return accepted, list(zip(lo_arr.tolist(), hi_arr.tolist()))
 
     def _covered_spans(self, meta, segments, qlen):
         """Original-frame query spans aligned by this chain, with break-segment
@@ -171,7 +178,7 @@ class Aligner:
             if meta['is_rev']:
                 lo, hi = qlen - hi, qlen - lo
             out.append((lo, hi))
-        return out
+        return _coalesce_spans(out)
 
     # ------------------------------------------------------------- chain plan
 
@@ -251,24 +258,29 @@ class Aligner:
 
     def _run_segments(self, segments):
         """Bucket DP jobs into static shapes and run batched kernel calls."""
+        # Canonical square buckets: one compiled program per size class. Small
+        # classes run full-width DP (no band dimension); only large segments
+        # get a banded width, bucketed coarsely.
         buckets = collections.defaultdict(list)
         for si, seg in enumerate(segments):
             if seg.kind == 'break':
                 continue
             m, n = len(seg.q), len(seg.r)
-            width = min(2 * abs(m - n) + _MIN_WIDTH, n + 1)
-            width_b = _bucket_pow2(width, lo=_MIN_WIDTH, hi=1 << 15) + 1
-            width_b = min(width_b, n + 1)
-            m_b = _bucket_pow2(m, lo=32)
-            buckets[(m_b, max(width_b, _MIN_WIDTH))].append(si)
+            size_b = _bucket_pow2(max(m, n), lo=32)
+            if size_b <= 512:
+                width_b = size_b + 1  # full DP, no band dimension
+            else:
+                width = min(2 * abs(m - n) + _MIN_WIDTH, n + 1)
+                width_b = min(_bucket_pow2(width, lo=512) + 1, size_b + 1)
+            buckets[(size_b, width_b)].append(si)
 
-        for (m_b, width_b), idx_list in sorted(buckets.items()):
-            max_batch = max(1, (256 << 20) // max(m_b * width_b, 1))
+        for (size_b, width_b), idx_list in sorted(buckets.items()):
+            max_batch = max(1, (256 << 20) // max(size_b * width_b, 1))
             for lo in range(0, len(idx_list), max_batch):
                 chunk = idx_list[lo:lo + max_batch]
                 pairs = [(segments[i].q, segments[i].r) for i in chunk]
                 try:
-                    results = self.dp.align_batch(pairs, width=width_b)
+                    results = self.dp.align_batch(pairs, width=width_b, pad_to=size_b)
                 except RuntimeError:
                     full_w = max(len(r) for _, r in pairs) + 1
                     results = self.dp.align_batch(pairs, width=full_w)
@@ -395,6 +407,20 @@ class Aligner:
 
         close_record(q_cur, r_cur)
         return records
+
+
+def _coalesce_spans(spans):
+    """Merge overlapping/adjacent (lo, hi) spans."""
+    if not spans:
+        return []
+    spans = sorted(spans)
+    out = [list(spans[0])]
+    for lo, hi in spans[1:]:
+        if lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [(lo, hi) for lo, hi in out]
 
 
 def _compare_run(sq, sr):

@@ -158,26 +158,24 @@ def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=Non
         df = df.reset_index(drop=True)
         dfs.append(df)
 
+    # Per-source column arrays (avoids per-row Series construction in the
+    # matching loop).
+    arrs = [_source_arrays(df, strat) for df in dfs]
+
     # Merged state: lead rows + per-lead support lists.
     leads = []          # (source_i, row_i)
     support = []        # per lead: list of (sample, id, ro, offset, szro, offsz, match)
 
-    lead_arrays = None  # rebuilt per source: per-chrom interval indexes of leads
-
     def rebuild_index():
         by_chrom = {}
-        pos_l, end_l, chrom_l = [], [], []
-        for li, (si, ri) in enumerate(leads):
-            row = dfs[si].iloc[ri]
-            pos_l.append(row['POS'])
-            end_l.append(row['END'])
-            chrom_l.append(row['#CHROM'])
+        chrom_l = [arrs[si]['chrom'][ri] for si, ri in leads]
+        pos_l = np.array([arrs[si]['pos'][ri] for si, ri in leads], dtype=np.int64)
+        end_l = np.array([arrs[si]['end'][ri] for si, ri in leads], dtype=np.int64)
         info = pd.DataFrame({'#CHROM': chrom_l, 'POS': pos_l, 'END': end_l})
+        pad = 1000
         for chrom, sub in info.groupby('#CHROM'):
             p = sub['POS'].to_numpy(dtype=np.int64)
             e = sub['END'].to_numpy(dtype=np.int64)
-            # Expand index spans for offset-stage candidate generation.
-            pad = 1000
             by_chrom[chrom] = (IntervalIndex(p - pad, e + pad), sub.index.to_numpy())
         return by_chrom
 
@@ -187,16 +185,16 @@ def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=Non
         if si == 0 or not leads:
             for ri in range(df.shape[0]):
                 leads.append((si, ri))
-                support.append([_self_support(name, df.iloc[ri])])
+                support.append([_self_support_arr(name, arrs[si], ri)])
             continue
 
         index_by_chrom = rebuild_index()
         claimed = set()  # leads claimed by this source
 
-        pos_n, end_n = _notional_span(df)
+        pos_n = arrs[si]['pos_n']
+        end_n = arrs[si]['end_n']
         for ri in range(df.shape[0]):
-            row = df.iloc[ri]
-            chrom = row['#CHROM']
+            chrom = arrs[si]['chrom'][ri]
             hit = None
             if chrom in index_by_chrom:
                 iidx, lead_ids = index_by_chrom[chrom]
@@ -207,8 +205,7 @@ def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=Non
                     if li in claimed:
                         continue
                     lsi, lri = leads[li]
-                    lead_row = dfs[lsi].iloc[lri]
-                    m = _match_pair(lead_row, row, strat)
+                    m = _match_arrays(arrs[lsi], lri, arrs[si], ri, strat)
                     if m is None:
                         continue
                     key = (m[0], -m[1])  # higher RO, then smaller offset
@@ -219,37 +216,139 @@ def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=Non
 
             if hit is None:
                 leads.append((si, ri))
-                support.append([_self_support(name, row)])
+                support.append([_self_support_arr(name, arrs[si], ri)])
             else:
                 li, (ro, offset, szro, offsz, match_val) = hit
                 claimed.add(li)
-                support[li].append((name, row['ID'], ro, offset, szro, offsz, match_val))
+                support[li].append((name, arrs[si]['id'][ri], ro, offset, szro,
+                                    offsz, match_val))
 
-    # Build output table from lead rows.
-    out_rows = []
-    for li, (si, ri) in enumerate(leads):
-        row = dfs[si].iloc[ri].copy()
-        sup = support[li]
-        row['MERGE_SAMPLES'] = ','.join(s[0] for s in sup)
-        row['MERGE_VARIANTS'] = ','.join(str(s[1]) for s in sup)
-        row['MERGE_RO'] = ','.join(_fmt(s[2]) for s in sup)
-        row['MERGE_OFFSET'] = ','.join(str(int(s[3])) for s in sup)
-        row['MERGE_SZRO'] = ','.join(_fmt(s[4]) for s in sup)
-        row['MERGE_OFFSZ'] = ','.join(_fmt(s[5]) for s in sup)
-        row['MERGE_MATCH'] = ','.join(_fmt(s[6]) for s in sup)
-        row['MERGE_SRC'] = sample_names[si]
-        row['MERGE_SRC_ID'] = row['ID']
-        out_rows.append(row)
-
-    if not out_rows:
+    # Build output table: bulk-slice lead rows per source, then assign the
+    # MERGE_* columns in one pass each.
+    if not leads:
         cols = list(dfs[0].columns) if dfs else []
         cols += ['MERGE_SAMPLES', 'MERGE_VARIANTS', 'MERGE_RO', 'MERGE_OFFSET',
                  'MERGE_SZRO', 'MERGE_OFFSZ', 'MERGE_MATCH', 'MERGE_SRC', 'MERGE_SRC_ID']
         return pd.DataFrame([], columns=cols)
 
-    out = pd.DataFrame(out_rows)
+    frames = []
+    order = []
+    for si in range(len(dfs)):
+        ris = [ri for (s, ri) in leads if s == si]
+        lis = [li for li, (s, _) in enumerate(leads) if s == si]
+        if not ris:
+            continue
+        sub = dfs[si].iloc[ris].copy()
+        sub['MERGE_SRC'] = sample_names[si]
+        frames.append(sub)
+        order.extend(lis)
+
+    out = pd.concat(frames, axis=0).reset_index(drop=True)
+    sup_ordered = [support[li] for li in order]
+    out['MERGE_SAMPLES'] = [','.join(s[0] for s in sup) for sup in sup_ordered]
+    out['MERGE_VARIANTS'] = [','.join(str(s[1]) for s in sup) for sup in sup_ordered]
+    out['MERGE_RO'] = [','.join(_fmt(s[2]) for s in sup) for sup in sup_ordered]
+    out['MERGE_OFFSET'] = [','.join(str(int(s[3])) for s in sup) for sup in sup_ordered]
+    out['MERGE_SZRO'] = [','.join(_fmt(s[4]) for s in sup) for sup in sup_ordered]
+    out['MERGE_OFFSZ'] = [','.join(_fmt(s[5]) for s in sup) for sup in sup_ordered]
+    out['MERGE_MATCH'] = [','.join(_fmt(s[6]) for s in sup) for sup in sup_ordered]
+    out['MERGE_SRC_ID'] = out['ID']
+
     out = out.sort_values(['#CHROM', 'POS', 'END', 'ID']).reset_index(drop=True)
     return out
+
+
+def _source_arrays(df, strat):
+    """Extract plain column arrays for fast pairwise matching."""
+    n = df.shape[0]
+    pos = df['POS'].to_numpy(dtype=np.int64) if n else np.zeros(0, dtype=np.int64)
+    end = df['END'].to_numpy(dtype=np.int64) if n else np.zeros(0, dtype=np.int64)
+    svtype = (df['SVTYPE'].astype(str).to_numpy() if 'SVTYPE' in df.columns
+              else np.full(n, '', dtype=object))
+    svlen = (df['SVLEN'].to_numpy(dtype=np.int64) if 'SVLEN' in df.columns
+             else np.maximum(end - pos, 1))
+    pos_n = pos.copy()
+    end_n = np.where(svtype == 'INS', pos + np.maximum(svlen, 1), end) if n else end
+    return {
+        'chrom': df['#CHROM'].astype(str).to_numpy() if n else np.zeros(0, dtype=object),
+        'pos': pos, 'end': end, 'svtype': svtype, 'svlen': svlen,
+        'pos_n': pos_n, 'end_n': end_n,
+        'id': df['ID'].to_numpy() if 'ID' in df.columns else np.full(n, '', dtype=object),
+        'ref': df['REF'].astype(str).str.upper().to_numpy() if 'REF' in df.columns else None,
+        'alt': df['ALT'].astype(str).str.upper().to_numpy() if 'ALT' in df.columns else None,
+        'seq': df['SEQ'].to_numpy() if 'SEQ' in df.columns else None,
+    }
+
+
+def _self_support_arr(name, arr, ri):
+    return (name, arr['id'][ri], 1.0, 0, 1.0, 0.0, 1.0)
+
+
+def _match_arrays(lead_arr, lri, cand_arr, cri, strat):
+    """Array-backed pair matching; see _match_pair for semantics."""
+    if lead_arr['svtype'][lri] != cand_arr['svtype'][cri]:
+        return None
+
+    if strat.engine == 'nrsnv':
+        if (lead_arr['pos'][lri] != cand_arr['pos'][cri]
+                or lead_arr['chrom'][lri] != cand_arr['chrom'][cri]):
+            return None
+        if lead_arr['ref'] is None or cand_arr['ref'] is None:
+            return None
+        if (lead_arr['ref'][lri] != cand_arr['ref'][cri]
+                or lead_arr['alt'][lri] != cand_arr['alt'][cri]):
+            return None
+        return (1.0, 0, 1.0, 0.0, 1.0)
+
+    svlen_l = int(lead_arr['svlen'][lri])
+    svlen_c = int(cand_arr['svlen'][cri])
+    if svlen_l <= 0 or svlen_c <= 0:
+        return None
+
+    pos_l, end_l = int(lead_arr['pos_n'][lri]), int(lead_arr['end_n'][lri])
+    pos_c, end_c = int(cand_arr['pos_n'][cri]), int(cand_arr['end_n'][cri])
+
+    inter = max(0, min(end_l, end_c) - max(pos_l, pos_c))
+    union_span = max(end_l - pos_l, end_c - pos_c)
+    ro = inter / union_span if union_span else 0.0
+
+    offset = min(abs(pos_l - pos_c), abs(end_l - end_c))
+    szro = min(svlen_l, svlen_c) / max(svlen_l, svlen_c)
+    offsz = offset / min(svlen_l, svlen_c)
+
+    matched = False
+    for stage, params in strat.stages:
+        if stage == 'ro':
+            if ro >= params[0]:
+                matched = True
+                break
+        elif stage == 'szro':
+            p, dist, prop = (list(params) + [None, None])[:3]
+            limit = dist if dist is not None else np.inf
+            if prop is not None:
+                limit = min(limit, prop * min(svlen_l, svlen_c))
+            if szro >= p and offset <= limit:
+                matched = True
+                break
+        elif stage == 'exact':
+            if pos_l == pos_c and end_l == end_c:
+                matched = True
+                break
+    if not matched:
+        return None
+
+    match_val = np.nan
+    if strat.match_seq:
+        seq_l = lead_arr['seq'][lri] if lead_arr['seq'] is not None else ''
+        seq_c = cand_arr['seq'][cri] if cand_arr['seq'] is not None else ''
+        seq_l = '' if seq_l is None or (isinstance(seq_l, float)) else str(seq_l)
+        seq_c = '' if seq_c is None or (isinstance(seq_c, float)) else str(seq_c)
+        if seq_l and seq_c:
+            match_val = _seq_identity(seq_l.upper(), seq_c.upper())
+            if match_val < MATCH_IDENTITY:
+                return None
+
+    return (ro, offset, szro, offsz, match_val)
 
 
 def _fmt(v):

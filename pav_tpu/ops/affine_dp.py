@@ -176,11 +176,13 @@ class BandedAligner:
     def __init__(self, scoring=None):
         self.scoring = dict(DEFAULT_SCORING, **(scoring or {}))
 
-    def align_batch(self, pairs, width):
+    def align_batch(self, pairs, width, pad_to=None):
         """Align a list of (q_codes, r_codes) with one bucket shape.
 
         :param pairs: list of (q, r) uint8 code arrays; len(q) <= max_m.
         :param width: band window width (covers whole row when >= max(n)+1).
+        :param pad_to: pad both sequence dims to this size (canonical square
+            bucket); defaults to per-batch power-of-two padding.
 
         :return: list of (lens, ops) CIGAR arrays (I = query-consuming gap,
             D = ref-consuming gap, =/X matches).
@@ -196,9 +198,12 @@ class BandedAligner:
 
         # Pad batch and lengths to power-of-two buckets: the kernel compiles
         # once per (B, max_m, max_n, width) bucket instead of once per call.
-        B_pad = _next_pow2(max(B, 1))
-        max_m = _next_pow2(max_m)
-        max_n = _next_pow2(max(max_n, 1))
+        B_pad = max(_next_pow2(max(B, 1)), 64)
+        if pad_to is not None:
+            max_m = max_n = int(pad_to)
+        else:
+            max_m = _next_pow2(max_m)
+            max_n = _next_pow2(max(max_n, 1))
         m = np.concatenate([m, np.ones(B_pad - B, dtype=np.int32)])
         n = np.concatenate([n, np.ones(B_pad - B, dtype=np.int32)])
 

@@ -54,7 +54,8 @@ class HaplotypeResult:
         self.df_inv = None
         self.df_flag = None
         self.callable = None
-        self.integrated = None  # {varsvtype: (pass, fail)}
+        self.integrated = None  # {varsvtype: (pass, fail_nonredundant)}
+        self.fail_redundant = None  # {varsvtype: redundant FAIL calls}
 
 
 class Pipeline:
@@ -185,6 +186,18 @@ class Pipeline:
         res.integrated = integrate_sources(
             res.df_insdel, res.df_snv, res.df_lg_ins, res.df_lg_del,
             res.df_lg_inv, res.df_inv, res.depth_qry, cfg)
+
+        # Resolve redundant TRIM-failed calls (reference:
+        # rules/call.snakefile:287-485): one representative per site in the
+        # nonredundant FAIL set; PASS-intersecting fails become redundant.
+        from .call.redundancy import resolve_fail_redundancy
+        res.fail_redundant = {}
+        for varsvtype, (df_pass, df_fail) in list(res.integrated.items()):
+            svtype = varsvtype.split('_')[1]
+            strategy = get_merge_params(svtype, cfg)
+            nr, red = resolve_fail_redundancy(df_pass, df_fail, res.align_none, strategy)
+            res.integrated[varsvtype] = (df_pass, nr)
+            res.fail_redundant[varsvtype] = red
         return res
 
     def _scan_flagged_inversions(self, res, qry_store, hap, cfg, log_buf):

@@ -1,0 +1,216 @@
+"""Component coverage: merger, redundancy, SAM round-trip, tracks, plots,
+asmstat, batching, depth annotation."""
+
+import gzip
+import io
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pav_tpu import asmstat, seqcodec, tracks
+from pav_tpu.align import cigar as cg
+from pav_tpu.align.table import read_sam, depth_table
+from pav_tpu.call import merge as svmerge
+from pav_tpu.call import redundancy
+from pav_tpu.call.batching import merge_batch_table
+from pav_tpu.call.integrate import annotate_depth, merge_haplotypes
+from pav_tpu.io.fasta import SeqStore
+from pav_tpu.io.sam import write_sam
+
+from helpers import random_seq
+
+
+def _var(chrom, pos, end, vid, svtype, svlen, seq='', **kw):
+    row = {'#CHROM': chrom, 'POS': pos, 'END': end, 'ID': vid,
+           'SVTYPE': svtype, 'SVLEN': svlen, 'SEQ': seq}
+    row.update(kw)
+    return row
+
+
+def test_merge_variants_nr():
+    h1 = pd.DataFrame([
+        _var('c', 1000, 1001, 'c-1000-INS-100', 'INS', 100, 'A' * 100),
+        _var('c', 5000, 5200, 'c-5000-DEL-200', 'DEL', 200, 'C' * 200),
+        _var('c', 9000, 9050, 'c-9000-DEL-50', 'DEL', 50, 'G' * 50),
+    ])
+    h2 = pd.DataFrame([
+        _var('c', 1010, 1011, 'c-1010-INS-100', 'INS', 100, 'A' * 100),   # merges (szro)
+        _var('c', 5050, 5250, 'c-5050-DEL-200', 'DEL', 200, 'C' * 200),   # merges (ro)
+        _var('c', 20000, 20300, 'c-20000-DEL-300', 'DEL', 300, 'T' * 300),  # new lead
+    ])
+    out = svmerge.merge_variants([h1, h2], ['h1', 'h2'],
+                                 'nr::ro(0.5):szro(0.5,200,2):match')
+    assert out.shape[0] == 4
+    merged_ins = out.loc[out['SVTYPE'] == 'INS'].iloc[0]
+    assert merged_ins['MERGE_SAMPLES'] == 'h1,h2'
+    assert merged_ins['MERGE_VARIANTS'] == 'c-1000-INS-100,c-1010-INS-100'
+    lone = out.loc[out['ID'] == 'c-20000-DEL-300'].iloc[0]
+    assert lone['MERGE_SAMPLES'] == 'h2'
+
+
+def test_merge_variants_match_rejects_sequence():
+    h1 = pd.DataFrame([_var('c', 1000, 1001, 'a', 'INS', 100, 'A' * 100)])
+    h2 = pd.DataFrame([_var('c', 1010, 1011, 'b', 'INS', 100, 'C' * 100)])
+    out = svmerge.merge_variants([h1, h2], ['h1', 'h2'],
+                                 'nr::ro(0.5):szro(0.5,200,2):match')
+    assert out.shape[0] == 2  # different sequence content -> no merge
+    out2 = svmerge.merge_variants([h1, h2], ['h1', 'h2'],
+                                  'nr::ro(0.5):szro(0.5,200,2)')
+    assert out2.shape[0] == 1  # without match, positions suffice
+
+
+def test_merge_variants_snv_exact():
+    h1 = pd.DataFrame([_var('c', 100, 101, 's1', 'SNV', 1, REF='A', ALT='G')])
+    h2 = pd.DataFrame([
+        _var('c', 100, 101, 's2', 'SNV', 1, REF='A', ALT='G'),
+        _var('c', 100, 101, 's3', 'SNV', 1, REF='A', ALT='T'),
+    ])
+    out = svmerge.merge_variants([h1, h2], ['h1', 'h2'], 'nrsnv::exact')
+    assert out.shape[0] == 2
+    merged = out.loc[out['ID'] == 's1'].iloc[0]
+    assert merged['MERGE_SAMPLES'] == 'h1,h2'
+
+
+def test_seq_identity():
+    assert svmerge._seq_identity('ACGT' * 50, 'ACGT' * 50) == 1.0
+    a = 'ACGT' * 50
+    b = a[:100] + 'T' + a[101:]
+    assert svmerge._seq_identity(a, b) > 0.99
+    assert svmerge._seq_identity('A' * 100, 'C' * 100) < 0.2
+
+
+def test_redundancy_resolution():
+    df_pass = pd.DataFrame([
+        _var('c', 1000, 1200, 'keep', 'DEL', 200, 'A' * 200,
+             ALIGN_INDEX='0', FILTER='PASS'),
+    ])
+    df_fail = pd.DataFrame([
+        # Intersects PASS -> redundant
+        _var('c', 1005, 1205, 'dup_of_pass', 'DEL', 200, 'A' * 200,
+             ALIGN_INDEX='1', FILTER='TRIM'),
+        # Two TRIM calls at the same site from different alignments -> keep one
+        _var('c', 9000, 9300, 'site2_a', 'DEL', 300, 'G' * 300,
+             ALIGN_INDEX='1', FILTER='TRIM'),
+        _var('c', 9000, 9300, 'site2_b', 'DEL', 300, 'G' * 300,
+             ALIGN_INDEX='2', FILTER='TRIM'),
+        # non-TRIM fail is always kept
+        _var('c', 50000, 50100, 'qryfil', 'DEL', 100, 'T' * 100,
+             ALIGN_INDEX='2', FILTER='QRY_FILTER'),
+    ])
+    df_align = pd.DataFrame({
+        'INDEX': [0, 1, 2], 'QRY_POS': [0, 0, 0],
+        'QRY_END': [10000, 9000, 12000], 'MAPQ': [60, 60, 60],
+    })
+    nr, red = redundancy.resolve_fail_redundancy(
+        df_pass, df_fail, df_align, 'nr::ro(0.5):szro(0.5,200,2):match')
+    nr_ids = set(nr['ID'])
+    assert 'qryfil' in nr_ids
+    assert 'dup_of_pass' not in nr_ids
+    assert len({'site2_a', 'site2_b'} & nr_ids) == 1
+    assert set(red['ID']) == {'dup_of_pass'} | ({'site2_a', 'site2_b'} - nr_ids)
+
+
+def test_sam_roundtrip(tmp_path):
+    rng = np.random.default_rng(55)
+    ref = random_seq(5000, rng)
+    contig = ref[1000:4000].copy()
+    contig[500] = (contig[500] + 1) % 4
+
+    from pav_tpu.align.aligner import Aligner
+    ref_store = SeqStore({'chrA': ref})
+    qry_store = SeqStore({'q1': contig})
+    df = Aligner(ref_store, {'aligner_min_chain_score': 200}).align_store(qry_store, 'h1')
+    assert df.shape[0] == 1
+
+    sam_path = str(tmp_path / 'out.sam')
+    write_sam(df, qry_store, ref_store.fai(), sam_path)
+    df2 = read_sam(sam_path, qry_store.fai(), 'h1')
+    assert df2.shape[0] == 1
+    for col in ('#CHROM', 'POS', 'END', 'QRY_POS', 'QRY_END', 'REV'):
+        assert df.iloc[0][col] == df2.iloc[0][col], col
+    # CIGAR bodies equal after clip normalization (S became H on re-ingest)
+    l1, o1 = cg.parse(df.iloc[0]['CIGAR'])
+    l2, o2 = cg.parse(df2.iloc[0]['CIGAR'])
+    body1 = [(int(l), int(o)) for l, o in zip(l1, o1) if o not in (cg.S, cg.H)]
+    body2 = [(int(l), int(o)) for l, o in zip(l2, o2) if o not in (cg.S, cg.H)]
+    assert body1 == body2
+
+
+def test_tracks(tmp_path):
+    df_var = pd.DataFrame([
+        _var('c', 100, 300, 'v1', 'DEL', 200, FILTER='PASS'),
+        _var('c', 500, 501, 'v2', 'INS', 50, FILTER='PASS'),
+    ])
+    path = str(tmp_path / 'var.bed.gz')
+    tracks.variant_track(df_var, path)
+    with gzip.open(path, 'rt') as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].startswith('track')
+    assert len(lines) == 3
+
+    df_align = pd.DataFrame([{
+        '#CHROM': 'c', 'POS': 0, 'END': 1000, 'QRY_ID': 'q', 'QRY_POS': 0,
+        'QRY_END': 1000, 'MAPQ': 60, 'REV': False, 'HAP': 'h1', 'INDEX': 0,
+    }])
+    path2 = str(tmp_path / 'aln.bed')
+    tracks.alignment_track(df_align, path2)
+    assert open(path2).read().count('\n') == 2
+
+
+def test_plots(tmp_path):
+    from pav_tpu import plot as pplot
+    rng = np.random.default_rng(66)
+    ref = random_seq(3000, rng)
+    tig = np.concatenate([ref[:1000], seqcodec.revcomp(ref[1000:2000]), ref[2000:]])
+    ax = pplot.kmer_dotplot(ref, tig, k=21)
+    assert ax is not None
+
+    df_density = pd.DataFrame({
+        'INDEX': np.arange(100),
+        'STATE_MER': [0] * 40 + [2] * 30 + [0] * 30,
+        'STATE': [0] * 40 + [2] * 30 + [0] * 30,
+        'KERN_FWD': np.linspace(1, 0, 100),
+        'KERN_FWDREV': np.zeros(100),
+        'KERN_REV': np.linspace(0, 1, 100),
+    })
+    out = str(tmp_path / 'density.png')
+    pplot.density_plot(df_density, title='test', out_path=out)
+    assert os.path.getsize(out) > 1000
+
+
+def test_asmstat():
+    store = SeqStore({'a': np.zeros(100, dtype=np.uint8),
+                      'b': np.zeros(300, dtype=np.uint8),
+                      'c': np.zeros(50, dtype=np.uint8)})
+    stats = asmstat.asm_stats(store)
+    assert stats['CONTIGS'] == 3
+    assert stats['TOTAL_BP'] == 450
+    assert stats['N50'] == 300
+
+
+def test_merge_batch_table():
+    fai = {f'chr{i}': (25 - i) * 1000 for i in range(24)}
+    df = merge_batch_table(fai, batch_count=4)
+    sizes = df.groupby('BATCH')['LEN'].sum()
+    assert len(sizes) == 4
+    assert sizes.max() / sizes.min() < 1.5  # balanced bins
+
+
+def test_annotate_depth_spanning():
+    df_depth = pd.DataFrame({
+        '#CHROM': ['c'] * 3, 'POS': [0, 100, 200], 'END': [100, 200, 300],
+        'DEPTH': [1, 0, 2], 'QRY_ID': ['q1', '', 'q1,q2'],
+    })
+    df_var = pd.DataFrame([
+        _var('c', 10, 20, 'a', 'DEL', 10),       # inside depth-1
+        _var('c', 50, 250, 'b', 'DEL', 200),     # spans all three
+        _var('c', 299, 300, 'ins_end', 'INS', 5),
+    ])
+    out = annotate_depth(df_var, df_depth)
+    assert out.loc[out['ID'] == 'a', 'COV_MEAN'].iloc[0] == 1
+    b = out.loc[out['ID'] == 'b'].iloc[0]
+    assert abs(b['COV_MEAN'] - (50 * 1 + 100 * 0 + 50 * 2) / 200) < 1e-9
+    assert abs(b['COV_PROP'] - 100 / 200) < 1e-9
+    assert out.loc[out['ID'] == 'ins_end', 'COV_MEAN'].iloc[0] == 2

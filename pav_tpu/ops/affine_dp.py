@@ -170,6 +170,90 @@ def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
     return h_last, tb, offs
 
 
+# Step codes emitted by the device traceback (host maps to CIGAR ops).
+STEP_EQ, STEP_X, STEP_I, STEP_D, STEP_DONE = 0, 1, 2, 3, 255
+
+
+@functools.partial(jax.jit, static_argnames=('max_m', 'width', 'match', 'mismatch',
+                                             'o1', 'o2', 'e1', 'e2'))
+def _align_and_trace(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
+    """Banded DP + device-side traceback. Only the compact step tape leaves the
+    device: [B, L] uint8 (L = 2*max_m + max_n bound), reversed order, plus a
+    band-exit error flag per element. The [B, max_m, width] traceback tensor
+    never crosses the host boundary (critical on bandwidth-limited links)."""
+    _, tb, offs = _align_batch(q, r, m, n, max_m, width,
+                               match, mismatch, o1, o2, e1, e2)
+
+    L = max_m + r.shape[1]
+
+    def one(tb_i, offs_i, q_i, r_i, m_i, n_i):
+        # state: 0=H, 1=E, 2=F; piece in {0,1}
+        def body(t, carry):
+            i, j, st, piece, steps, err = carry
+            done = (i <= 0) & (j <= 0)
+
+            # Row/column edges: pure gaps.
+            at_top = (i <= 0) & (j > 0)
+            at_left = (j <= 0) & (i > 0)
+
+            w = j - offs_i[jnp.maximum(i - 1, 0)]
+            in_band = (w >= 0) & (w < width)
+            byte = tb_i[jnp.maximum(i - 1, 0), jnp.clip(w, 0, width - 1)].astype(jnp.int32)
+
+            # Resolve the action for this step.
+            h_f = (byte & 2) != 0
+            h_e = (byte & 1) != 0
+            act_from_h = jnp.where(h_f, 2, jnp.where(h_e, 1, 0))  # 0=diag,1=E,2=F
+            act = jnp.where(st == 0, act_from_h, st)
+            new_piece = jnp.where(
+                (st == 0) & (act == 1), ((byte >> 2) & 1),
+                jnp.where((st == 0) & (act == 2), ((byte >> 3) & 1), piece))
+
+            # Edge overrides.
+            act = jnp.where(at_top, 2, jnp.where(at_left, 1, act))
+
+            qb = q_i[jnp.maximum(i - 1, 0)]
+            rb = r_i[jnp.maximum(j - 1, 0)]
+            diag_code = jnp.where((qb == rb) & (qb < 4) & (rb < 4), STEP_EQ, STEP_X)
+
+            e_ext = jnp.where(new_piece == 0, (byte >> 4) & 1, (byte >> 5) & 1)
+            f_open = jnp.where(new_piece == 0, (byte >> 6) & 1, (byte >> 7) & 1)
+
+            code = jnp.where(act == 0, diag_code,
+                             jnp.where(act == 1, STEP_I, STEP_D)).astype(jnp.uint8)
+            code = jnp.where(done, jnp.uint8(STEP_DONE), code)
+
+            di = jnp.where(act == 0, 1, jnp.where(act == 1, 1, 0))
+            dj = jnp.where(act == 0, 1, jnp.where(act == 2, 1, 0))
+            # Edge moves don't consult the byte.
+            e_ext_eff = jnp.where(at_left, jnp.int32(1), e_ext)
+            f_open_eff = jnp.where(at_top, jnp.int32(0), f_open)
+
+            new_st = jnp.where(act == 0, 0,
+                               jnp.where(act == 1,
+                                         jnp.where(e_ext_eff == 1, 1, 0),
+                                         jnp.where(f_open_eff == 1, 0, 2)))
+
+            err = err | (~done & ~at_top & ~at_left & (st == 0) & ~in_band & (act == 0))
+            err = err | (~done & ~at_top & ~at_left & ~in_band)
+
+            steps = steps.at[t].set(code)
+            i = jnp.where(done, i, i - di)
+            j = jnp.where(done, j, j - dj)
+            st = jnp.where(done, st, new_st)
+            return (i, j, st, new_piece, steps, err)
+
+        init = (m_i.astype(jnp.int32), n_i.astype(jnp.int32),
+                jnp.int32(0), jnp.int32(0),
+                jnp.full((L,), STEP_DONE, dtype=jnp.uint8), jnp.bool_(False))
+        i, j, st, piece, steps, err = jax.lax.fori_loop(0, L, body, init)
+        err = err | (i > 0) | (j > 0)
+        return steps, err
+
+    steps, err = jax.vmap(one)(tb, offs, q, r, m, n)
+    return steps, err
+
+
 class BandedAligner:
     """Host-facing wrapper: pad/bucket segments, run the kernel, traceback."""
 
@@ -215,20 +299,41 @@ class BandedAligner:
             qpad[i, :len(qq)] = qq
             rpad[i, :len(rr)] = rr
 
-        _, tb, offs = _align_batch(
+        steps, err = _align_and_trace(
             jnp.asarray(qpad), jnp.asarray(rpad), jnp.asarray(m), jnp.asarray(n),
             max_m, int(width),
             int(sc['match']), int(sc['mismatch']),
             int(sc['gap_open'][0]), int(sc['gap_open'][1]),
             int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
 
-        tb = np.asarray(tb)
-        offs = np.asarray(offs)
+        # Only the compact step tape crosses the device boundary.
+        steps = np.asarray(steps[:B])
+        err = np.asarray(err[:B])
 
-        out = []
-        for i, (qq, rr) in enumerate(pairs):
-            out.append(traceback(tb[i], offs[i], qq, rr, int(width)))
-        return out
+        if err.any():
+            if width >= max_n + 1:
+                raise RuntimeError(
+                    'Traceback failed at full width (program bug)')
+            # Band too narrow for some paths: re-run the whole chunk full-width.
+            raise RuntimeError('band too narrow for this segment batch')
+
+        return [steps_to_cigar(steps[i]) for i in range(B)]
+
+
+def steps_to_cigar(step_row):
+    """Device step tape (reversed path, STEP_DONE padded) -> (lens, ops)."""
+    from ..align import cigar as cg
+
+    valid = step_row != STEP_DONE
+    codes = step_row[valid][::-1].astype(np.int8)
+    if len(codes) == 0:
+        return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int8)
+    op_map = np.array([cg.EQ, cg.X, cg.I, cg.D], dtype=np.int8)
+    ops_full = op_map[codes]
+    boundary = np.concatenate([[True], ops_full[1:] != ops_full[:-1]])
+    starts = np.nonzero(boundary)[0]
+    ends = np.concatenate([starts[1:], [len(ops_full)]])
+    return (ends - starts).astype(np.int32), ops_full[boundary]
 
 
 def _pure_gap(length, op_char):

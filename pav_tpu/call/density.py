@@ -49,7 +49,7 @@ def ref_kmer_set(ref_region_codes, k_util, max_count=MAX_REF_KMER_COUNT):
 def get_smoothed_density(
         tig_region_codes, ref_kmers_sorted, k_util,
         min_informative_kmers=2000, density_smooth_factor=1.0,
-        min_state_count=20):
+        min_state_count=20, with_density=True):
     """Smoothed k-mer orientation density table for a contig region.
 
     :param tig_region_codes: uint8 codes of the contig region (already oriented).
@@ -95,23 +95,25 @@ def get_smoothed_density(
 
     bw_factor = n ** (-1.0 / 5.0) * density_smooth_factor
     sigmas = kde.scott_sigmas(state, bw_factor)
-    dens = kde.gaussian_density_states(state, sigmas)  # [3, n]
+    # Histogram, convolution, spike clamp (reference: pavlib/density.py:311-313)
+    # and argmax run on device; densities transfer only when requested.
+    smoothed, dens = kde.smoothed_states(state, sigmas, with_density=with_density)
 
-    # Spike clamp (reference: pavlib/density.py:311-313).
-    dens = np.where(dens > 1.0, np.divide(1.0, dens, out=np.zeros_like(dens),
-                                          where=dens > 1.0), dens)
-
-    smoothed = np.argmax(dens, axis=0).astype(np.int8)
-
-    df = pd.DataFrame({
+    cols = {
         'INDEX': idx,
         'STATE_MER': state.astype(int),
         'STATE': smoothed.astype(int),
-        'KERN_FWD': dens[0],
-        'KERN_FWDREV': dens[1],
-        'KERN_REV': dens[2],
-        'KMER': kmers,
-    })
+    }
+    if dens is not None:
+        cols['KERN_FWD'] = dens[0]
+        cols['KERN_FWDREV'] = dens[1]
+        cols['KERN_REV'] = dens[2]
+    else:
+        cols['KERN_FWD'] = np.nan
+        cols['KERN_FWDREV'] = np.nan
+        cols['KERN_REV'] = np.nan
+    cols['KMER'] = kmers
+    df = pd.DataFrame(cols)
     df.set_index(df['INDEX'], inplace=True, drop=False)
     return df
 

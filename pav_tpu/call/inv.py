@@ -111,11 +111,13 @@ def scan_for_inv(region_flag, ref_store, qry_store, align_lift, k_util,
             return None
 
         tig_codes = qry_store.fetch_region(region_tig)  # oriented by is_rev
+        # Scan pass transfers only the smoothed state vector; full densities are
+        # re-fetched once for the accepted region below.
         df = dens.get_smoothed_density(
             tig_codes, ref_kmers, k_util,
             min_informative_kmers=min_informative_kmers,
             density_smooth_factor=density_smooth_factor,
-            min_state_count=min_kmer_state_count)
+            min_state_count=min_kmer_state_count, with_density=False)
 
         if df.shape[0] == 0:
             _log(log, 'No informative reference k-mers in region')
@@ -160,6 +162,14 @@ def scan_for_inv(region_flag, ref_store, qry_store, align_lift, k_util,
     if state_rl[0][0] != 0 or state_rl[-1][0] != 0:
         raise RuntimeError(
             f'Found INV region not flanked by reference sequence (program bug): {region_ref}')
+
+    # Re-fetch the density columns for the accepted region (artifact parity:
+    # the per-inversion density table carries KERN_* values).
+    df = dens.get_smoothed_density(
+        qry_store.fetch_region(region_tig), ref_kmers, k_util,
+        min_informative_kmers=min_informative_kmers,
+        density_smooth_factor=density_smooth_factor,
+        min_state_count=min_kmer_state_count, with_density=True)
 
     state_rl_inv = [rec for rec in state_rl if rec[0] == 2]
     k = k_util.k_size

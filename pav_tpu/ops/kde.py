@@ -39,39 +39,74 @@ def _conv_batch(hist, kernels, fft_len):
     return full[:, half:half + hist.shape[1]]
 
 
-def gaussian_density_states(state_mer, sigmas, n_states=3):
-    """Per-state scaled KDE at every grid position.
+@functools.partial(jax.jit, static_argnames=('fft_len', 'n_states'))
+def _density_state_kernel(state_mer, kernels, fft_len, n_states):
+    """state_mer: int8 [n_pad] (values 0..n_states-1, or -1 padding);
+    kernels: [n_states, kw]. Histogram, convolution, spike clamp, and argmax all
+    run on device; returns (state int8 [n_pad], dens f32 [n_states, n_pad]).
+    Callers transfer only the state vector on the scan path."""
+    hist = jnp.stack([
+        (state_mer == s).astype(jnp.float32) for s in range(n_states)
+    ])
+    dens = _conv_batch(hist, kernels, fft_len)
+    dens = jnp.where(dens > 1.0, 1.0 / jnp.maximum(dens, 1e-30), dens)
+    state = jnp.argmax(dens, axis=0).astype(jnp.int8)
+    return state, dens
 
-    :param state_mer: int array [n] of state labels in [0, n_states) (condensed
-        density-space grid; every position belongs to exactly one state).
-    :param sigmas: per-state Gaussian sigma (array of n_states floats; a state
-        with zero points or zero sigma yields zeros).
 
-    :return: float32 array [n_states, n]: densities (count_s * KDE_s).
-    """
-    state_mer = np.asarray(state_mer)
-    n = len(state_mer)
-    sigmas = np.asarray(sigmas, dtype=np.float64)
-
-    # Pad the grid and kernel width to power-of-two buckets so XLA compiles a
-    # handful of FFT shapes total, not one per region.
-    n_pad = _next_pow2(max(n, 16))
-    hist = np.zeros((n_states, n_pad), dtype=np.float32)
-    for s in range(n_states):
-        hist[s, np.nonzero(state_mer == s)[0]] = 1.0
-
+def _build_kernels(state_mer, sigmas, n_states):
     max_sigma = float(np.max(sigmas)) if len(sigmas) else 0.0
     half = int(np.ceil(_TRUNC_SIGMAS * max(max_sigma, 1.0)))
     kw = 2 * (_next_pow2(half) if half > 1 else 1) + 1
     half = kw // 2
     x = np.arange(-half, half + 1, dtype=np.float64)
-
     kernels = np.zeros((n_states, kw), dtype=np.float32)
     for s in range(n_states):
         sg = sigmas[s]
         if sg > 0 and np.any(state_mer == s):
-            kernels[s] = (np.exp(-0.5 * (x / sg) ** 2) / (sg * np.sqrt(2 * np.pi))).astype(np.float32)
+            kernels[s] = (np.exp(-0.5 * (x / sg) ** 2)
+                          / (sg * np.sqrt(2 * np.pi))).astype(np.float32)
+    return kernels, kw
 
+
+def smoothed_states(state_mer, sigmas, n_states=3, with_density=False):
+    """Density-smoothed state per grid position (device round trip is int8 in,
+    int8 out on the scan path; densities transferred only when requested).
+
+    :param state_mer: int array [n] of state labels in [0, n_states).
+    :param sigmas: per-state Gaussian sigma.
+
+    :return: (state int8 [n], dens float32 [n_states, n] or None).
+    """
+    state_mer = np.asarray(state_mer, dtype=np.int8)
+    n = len(state_mer)
+    n_pad = _next_pow2(max(n, 16))
+    padded = np.full(n_pad, -1, dtype=np.int8)
+    padded[:n] = state_mer
+
+    kernels, kw = _build_kernels(state_mer, np.asarray(sigmas, dtype=np.float64),
+                                 n_states)
+    fft_len = _next_pow2(n_pad + kw)
+    state, dens = _density_state_kernel(
+        jnp.asarray(padded), jnp.asarray(kernels), fft_len, n_states)
+    state_np = np.asarray(state)[:n]
+    if with_density:
+        return state_np, np.asarray(dens)[:, :n]
+    return state_np, None
+
+
+def gaussian_density_states(state_mer, sigmas, n_states=3):
+    """Per-state scaled KDE at every grid position (spike clamp NOT applied;
+    exact scipy-parity values). float32 array [n_states, n]."""
+    state_mer = np.asarray(state_mer)
+    n = len(state_mer)
+    n_pad = _next_pow2(max(n, 16))
+    hist = np.zeros((n_states, n_pad), dtype=np.float32)
+    for s in range(n_states):
+        hist[s, np.nonzero(state_mer == s)[0]] = 1.0
+
+    kernels, kw = _build_kernels(state_mer, np.asarray(sigmas, dtype=np.float64),
+                                 n_states)
     fft_len = _next_pow2(n_pad + kw)
     out = _conv_batch(jnp.asarray(hist), jnp.asarray(kernels), fft_len)
     return np.asarray(out)[:, :n]

@@ -1,0 +1,78 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The shared library is built on first use with the system toolchain and cached
+under build/. Callers fall back to the JAX implementations when the toolchain
+is unavailable.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, 'native', 'chain.cpp')
+_BUILD_DIR = os.path.join(_REPO_ROOT, 'build')
+_SO_PATH = os.path.join(_BUILD_DIR, 'libpavchain.so')
+
+
+def _build():
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', _SRC, '-o', _SO_PATH]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None when unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        try:
+            if (not os.path.exists(_SO_PATH)
+                    or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.chain_dp.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.chain_dp.restype = None
+            _LIB = lib
+        except Exception:
+            _LIB = None
+        return _LIB
+
+
+def chain_dp(qpos, rpos, group, k, lookback, max_dist, max_gap_diff, gap_scale):
+    """Native chain DP; returns (scores float32, parents int64) or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qpos)
+    qpos = np.ascontiguousarray(qpos, dtype=np.int32)
+    rpos = np.ascontiguousarray(rpos, dtype=np.int32)
+    group = np.ascontiguousarray(group, dtype=np.int32)
+    f = np.zeros(n, dtype=np.float32)
+    parent = np.full(n, -1, dtype=np.int64)
+    lib.chain_dp(
+        qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        group.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n), ctypes.c_int32(int(k)), ctypes.c_int32(int(lookback)),
+        ctypes.c_float(float(max_dist)), ctypes.c_float(float(max_gap_diff)),
+        ctypes.c_float(float(gap_scale)),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return f, parent

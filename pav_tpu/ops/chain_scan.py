@@ -81,6 +81,15 @@ def chain_scores(qpos, rpos, group, k, lookback=64, max_dist=50000,
     if n == 0:
         return np.zeros(0, dtype=np.float32), np.zeros(0, dtype=np.int64)
 
+    # The recurrence is sequential and irregular — the native host kernel is
+    # the primary path (pav_tpu/native.py, native/chain.cpp); the jitted scan
+    # below is the fallback and the device-resident variant.
+    from .. import native
+    res = native.chain_dp(qpos, rpos, group, k, lookback,
+                          max_dist, max_gap_diff, gap_scale)
+    if res is not None:
+        return res
+
     # Pad to a power-of-two scan length so XLA compiles once per bucket, not
     # once per contig. Padding anchors carry group -9 and can never chain.
     n_pad = 1

@@ -38,6 +38,18 @@ from .regions import Region
 from .util import build_interval_index_by_chrom
 
 
+_HAP_ARTIFACTS = (
+    ('align_trim-none', 'align_none'),
+    ('align_trim-qry', 'align_qry'),
+    ('align_trim-qryref', 'align_qryref'),
+    ('depth_qry', 'depth_qry'),
+    ('snv_snv', 'df_snv'), ('svindel_insdel', 'df_insdel'),
+    ('lg_ins', 'df_lg_ins'), ('lg_del', 'df_lg_del'),
+    ('lg_inv', 'df_lg_inv'), ('inv_flag', 'df_flag'),
+    ('sv_inv', 'df_inv'), ('callable', 'callable'),
+)
+
+
 class HaplotypeResult:
     """Per-haplotype intermediate artifacts."""
 
@@ -79,6 +91,7 @@ class Pipeline:
         self.n_index = (build_interval_index_by_chrom(self.n_gaps)
                         if self.n_gaps.shape[0] else {})
         self._aligner = None
+        self.timings = {}  # {(asm, hap, stage): seconds}
 
     # ---------------------------------------------------------------- stages
 
@@ -92,14 +105,27 @@ class Pipeline:
         self.log.write(f'[pav_tpu] {msg}\n')
         self.log.flush()
 
-    def run_haplotype(self, qry_store, hap, config=None):
+    def _timed(self, label, stage):
+        import contextlib
+        import time as _time
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = _time.time()
+            yield
+            self.timings[(label, stage)] = round(_time.time() - t0, 3)
+        return cm()
+
+    def run_haplotype(self, qry_store, hap, config=None, label=None):
         """Run alignment through integration for one haplotype."""
         cfg = config or self.config
         res = HaplotypeResult()
+        label = label or hap
 
         self._logmsg(f'{hap}: aligning {len(qry_store.names())} contigs '
                      f'({qry_store.total_bp() / 1e6:.2f} Mbp)')
-        df_align = self.aligner.align_store(qry_store, hap)
+        with self._timed(label, 'align'):
+            df_align = self.aligner.align_store(qry_store, hap)
         res.align_none = finalize_align_table(
             df_align, batch_count=int(cfg.get('cigar_batch_count', 10)))
 
@@ -108,17 +134,20 @@ class Pipeline:
         redundant = bool(cfg.get('redundant_callset', False))
 
         self._logmsg(f'{hap}: trimming {res.align_none.shape[0]} records')
-        res.align_qry = trim_alignments(res.align_none, min_trim, qry_fai, mode='tig')
-        res.align_qryref = trim_alignments(
-            res.align_qry, min_trim, qry_fai, match_tig=redundant, mode='ref')
+        with self._timed(label, 'trim'):
+            res.align_qry = trim_alignments(res.align_none, min_trim, qry_fai, mode='tig')
+            res.align_qryref = trim_alignments(
+                res.align_qry, min_trim, qry_fai, match_tig=redundant, mode='ref')
 
-        res.depth_qry = depth_table(res.align_qry, self.ref_store.fai())
+        with self._timed(label, 'depth'):
+            res.depth_qry = depth_table(res.align_qry, self.ref_store.fai())
 
         # CIGAR calls on untrimmed records; TRIM filter against trimmed bounds
         # (reference: rules/call.snakefile:792-846).
         self._logmsg(f'{hap}: CIGAR variant extraction')
-        df_snv, df_insdel = make_insdel_snv_calls(
-            res.align_none, self.ref_store, qry_store, hap, version_ids=False)
+        with self._timed(label, 'cigar_call'):
+            df_snv, df_insdel = make_insdel_snv_calls(
+                res.align_none, self.ref_store, qry_store, hap, version_ids=False)
 
         trim_bounds = res.align_qryref.set_index('INDEX')[['POS', 'END']].astype(int)
 
@@ -139,14 +168,15 @@ class Pipeline:
         # Large SV scan on fully-trimmed alignments.
         self._logmsg(f'{hap}: alignment-truncating SV scan')
         log_buf = _io.StringIO()
-        res.df_lg_ins, res.df_lg_del, res.df_lg_inv = largesv.scan_for_events(
-            res.align_qryref, self.ref_store, qry_store, hap,
-            k_size=int(cfg.get('inv_k_size', 31)),
-            n_index=self.n_index, log=log_buf,
-            max_qry_dist_prop=float(cfg.get('lg_max_qry_dist_prop', 1.0)),
-            max_ref_dist_prop=float(cfg.get('lg_max_ref_dist_prop', 3.0)),
-            max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
-            version_ids=True)
+        with self._timed(label, 'largesv'):
+            res.df_lg_ins, res.df_lg_del, res.df_lg_inv = largesv.scan_for_events(
+                res.align_qryref, self.ref_store, qry_store, hap,
+                k_size=int(cfg.get('inv_k_size', 31)),
+                n_index=self.n_index, log=log_buf,
+                max_qry_dist_prop=float(cfg.get('lg_max_qry_dist_prop', 1.0)),
+                max_ref_dist_prop=float(cfg.get('lg_max_ref_dist_prop', 3.0)),
+                max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
+                version_ids=True)
 
         # Inversion flagging from CIGAR calls.
         self._logmsg(f'{hap}: inversion flagging and density scan')
@@ -174,7 +204,8 @@ class Pipeline:
             batch_count=int(cfg.get('inv_sig_batch_count', 60)),
             inv_sig_filter=cfg.get('inv_sig_filter', 'svindel'))
 
-        res.df_inv = self._scan_flagged_inversions(res, qry_store, hap, cfg, log_buf)
+        with self._timed(label, 'inv_scan'):
+            res.df_inv = self._scan_flagged_inversions(res, qry_store, hap, cfg, log_buf)
 
         # Callable regions.
         res.callable = callable_regions(
@@ -183,9 +214,10 @@ class Pipeline:
 
         # Integrate.
         self._logmsg(f'{hap}: integrating call sources')
-        res.integrated = integrate_sources(
-            res.df_insdel, res.df_snv, res.df_lg_ins, res.df_lg_del,
-            res.df_lg_inv, res.df_inv, res.depth_qry, cfg)
+        with self._timed(label, 'integrate'):
+            res.integrated = integrate_sources(
+                res.df_insdel, res.df_snv, res.df_lg_ins, res.df_lg_del,
+                res.df_lg_inv, res.df_inv, res.depth_qry, cfg)
 
         # Resolve redundant TRIM-failed calls (reference:
         # rules/call.snakefile:287-485): one representative per site in the
@@ -251,9 +283,53 @@ class Pipeline:
             df = df.sort_values(['#CHROM', 'POS', 'END', 'ID']).reset_index(drop=True)
         return df
 
+    # --------------------------------------------------------------- resume
+
+    def _hap_artifact_dir(self, asm_name, hap):
+        return os.path.join(self.run_dir, asm_name, hap) if self.run_dir else None
+
+    def load_hap_artifacts(self, asm_name, hap):
+        """Load a haplotype's persisted stage artifacts (checkpoint/resume —
+        the reference's file-target semantics, SURVEY.md §5-checkpoint).
+
+        :return: HaplotypeResult or None if any artifact is missing.
+        """
+        hdir = self._hap_artifact_dir(asm_name, hap)
+        if hdir is None or not os.path.isdir(hdir):
+            return None
+        res = HaplotypeResult()
+        for fname, attr in _HAP_ARTIFACTS:
+            path = os.path.join(hdir, f'{fname}.tsv.gz')
+            if not os.path.isfile(path):
+                return None
+            setattr(res, attr, pd.read_csv(
+                path, sep='\t', dtype={'#CHROM': str, 'QRY_ID': str},
+                keep_default_na=False, na_values=['']))
+        return res
+
+    def resume_haplotype(self, asm_name, hap, cfg):
+        """Rebuild a HaplotypeResult from artifacts, recomputing only the cheap
+        integration tail (filters/depth/redundancy are deterministic)."""
+        res = self.load_hap_artifacts(asm_name, hap)
+        if res is None:
+            return None
+        from .call.redundancy import resolve_fail_redundancy
+        res.integrated = integrate_sources(
+            res.df_insdel, res.df_snv, res.df_lg_ins, res.df_lg_del,
+            res.df_lg_inv, res.df_inv, res.depth_qry, cfg)
+        res.fail_redundant = {}
+        for varsvtype, (df_pass, df_fail) in list(res.integrated.items()):
+            svtype = varsvtype.split('_')[1]
+            strategy = get_merge_params(svtype, cfg)
+            nr, red = resolve_fail_redundancy(df_pass, df_fail, res.align_none, strategy)
+            res.integrated[varsvtype] = (df_pass, nr)
+            res.fail_redundant[varsvtype] = red
+        return res
+
     # ------------------------------------------------------------- sample run
 
-    def run_sample(self, asm_name, hap_inputs, config=None, write_vcf=True):
+    def run_sample(self, asm_name, hap_inputs, config=None, write_vcf=True,
+                   resume=False):
         """Run the full pipeline for one sample.
 
         :param hap_inputs: {hap: SeqStore or path-spec string}.
@@ -263,11 +339,18 @@ class Pipeline:
         cfg = config or self.config
         hap_results = {}
         for hap, inp in hap_inputs.items():
+            if resume:
+                loaded = self.resume_haplotype(asm_name, hap, cfg)
+                if loaded is not None:
+                    self._logmsg(f'{asm_name}/{hap}: resumed from artifacts')
+                    hap_results[hap] = loaded
+                    continue
             store = inp if isinstance(inp, SeqStore) else load_haplotype_seqs(inp, asm_name, hap)
             if not store.names():
                 self._logmsg(f'{asm_name}/{hap}: no input sequence, skipping haplotype')
                 continue
-            hap_results[hap] = self.run_haplotype(store, hap, cfg)
+            hap_results[hap] = self.run_haplotype(store, hap, cfg,
+                                                  label=f'{asm_name}/{hap}')
 
         hap_list = list(hap_results.keys())
         merged = {}

@@ -258,34 +258,44 @@ class Aligner:
 
     def _run_segments(self, segments):
         """Bucket DP jobs into static shapes and run batched kernel calls."""
-        # Canonical square buckets: one compiled program per size class. Small
-        # classes run full-width DP (no band dimension); only large segments
-        # get a banded width, bucketed coarsely.
+        # Canonical square buckets, quantized to a handful of size classes so a
+        # genome run compiles only a few DP programs. Small classes run
+        # full-width DP; large segments get a coarsely-bucketed band.
         buckets = collections.defaultdict(list)
         for si, seg in enumerate(segments):
             if seg.kind == 'break':
                 continue
             m, n = len(seg.q), len(seg.r)
-            size_b = _bucket_pow2(max(m, n), lo=32)
+            size_b = 64
+            while size_b < max(m, n):
+                size_b *= 8  # size classes: 64, 512, 4096, 32768
             if size_b <= 512:
-                width_b = size_b + 1  # full DP, no band dimension
+                width_b = size_b + 1
             else:
                 width = min(2 * abs(m - n) + _MIN_WIDTH, n + 1)
                 width_b = min(_bucket_pow2(width, lo=512) + 1, size_b + 1)
             buckets[(size_b, width_b)].append(si)
 
+        # Two-phase: dispatch every bucket to the device first, then collect —
+        # transfers overlap compute and each other (async dispatch).
+        launches = []
         for (size_b, width_b), idx_list in sorted(buckets.items()):
             max_batch = max(1, (256 << 20) // max(size_b * width_b, 1))
             for lo in range(0, len(idx_list), max_batch):
                 chunk = idx_list[lo:lo + max_batch]
                 pairs = [(segments[i].q, segments[i].r) for i in chunk]
-                try:
-                    results = self.dp.align_batch(pairs, width=width_b, pad_to=size_b)
-                except RuntimeError:
-                    full_w = max(len(r) for _, r in pairs) + 1
-                    results = self.dp.align_batch(pairs, width=full_w)
-                for i, res in zip(chunk, results):
-                    segments[i].result = res
+                handle = self.dp.align_batch_async(pairs, width=width_b, pad_to=size_b)
+                launches.append((chunk, pairs, handle))
+
+        for chunk, pairs, handle in launches:
+            try:
+                results = handle()
+            except RuntimeError:
+                # Band too narrow for some path: retry this chunk full-width.
+                full_w = max(len(r) for _, r in pairs) + 1
+                results = self.dp.align_batch(pairs, width=full_w)
+            for i, res in zip(chunk, results):
+                segments[i].result = res
 
         # Post-DP break detection: long segments that still aligned terribly.
         for seg in segments:

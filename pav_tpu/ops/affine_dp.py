@@ -184,7 +184,7 @@ def _align_and_trace(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
     _, tb, offs = _align_batch(q, r, m, n, max_m, width,
                                match, mismatch, o1, o2, e1, e2)
 
-    L = max_m + r.shape[1]
+    L = ((max_m + r.shape[1] + 3) // 4) * 4  # multiple of 4 for 2-bit packing
 
     def one(tb_i, offs_i, q_i, r_i, m_i, n_i):
         # state: 0=H, 1=E, 2=F; piece in {0,1}
@@ -248,10 +248,18 @@ def _align_and_trace(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
                 jnp.full((L,), STEP_DONE, dtype=jnp.uint8), jnp.bool_(False))
         i, j, st, piece, steps, err = jax.lax.fori_loop(0, L, body, init)
         err = err | (i > 0) | (j > 0)
-        return steps, err
 
-    steps, err = jax.vmap(one)(tb, offs, q, r, m, n)
-    return steps, err
+        # 2-bit pack the tape (codes 0-3; DONE positions zeroed, length kept
+        # separately): a 4x cut in the only tensor that leaves the device.
+        path_len = jnp.sum((steps != STEP_DONE).astype(jnp.int32))
+        codes = jnp.where(steps == STEP_DONE, 0, steps).astype(jnp.uint8)
+        quads = codes.reshape(-1, 4)
+        packed = (quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4)
+                  | (quads[:, 3] << 6)).astype(jnp.uint8)
+        return packed, path_len, err
+
+    packed, path_len, err = jax.vmap(one)(tb, offs, q, r, m, n)
+    return packed, path_len, err
 
 
 class BandedAligner:
@@ -271,6 +279,12 @@ class BandedAligner:
         :return: list of (lens, ops) CIGAR arrays (I = query-consuming gap,
             D = ref-consuming gap, =/X matches).
         """
+        return self.align_batch_async(pairs, width, pad_to=pad_to)()
+
+    def align_batch_async(self, pairs, width, pad_to=None):
+        """Dispatch the batch to the device and return a no-arg callable that
+        blocks, transfers the packed tapes, and yields the CIGAR list. Lets the
+        caller launch every bucket before paying any transfer latency."""
         sc = self.scoring
         B = len(pairs)
         m = np.array([len(q) for q, _ in pairs], dtype=np.int32)
@@ -278,56 +292,62 @@ class BandedAligner:
         max_m = int(m.max()) if B else 0
         max_n = int(n.max()) if B else 0
         if max_m == 0:
-            return [_pure_gap(len(r), 'D') for _, r in pairs]
+            result = [_pure_gap(len(r), 'D') for _, r in pairs]
+            return lambda: result
 
-        # Pad batch and lengths to power-of-two buckets: the kernel compiles
-        # once per (B, max_m, max_n, width) bucket instead of once per call.
         B_pad = max(_next_pow2(max(B, 1)), 64)
         if pad_to is not None:
             max_m = max_n = int(pad_to)
         else:
             max_m = _next_pow2(max_m)
             max_n = _next_pow2(max(max_n, 1))
-        m = np.concatenate([m, np.ones(B_pad - B, dtype=np.int32)])
-        n = np.concatenate([n, np.ones(B_pad - B, dtype=np.int32)])
-
         width = min(_next_pow2(int(width)) + 1, max_n + 1)
 
+        m_p = np.concatenate([m, np.ones(B_pad - B, dtype=np.int32)])
+        n_p = np.concatenate([n, np.ones(B_pad - B, dtype=np.int32)])
         qpad = np.full((B_pad, max_m), 4, dtype=np.int8)
         rpad = np.full((B_pad, max_n), 4, dtype=np.int8)
         for i, (qq, rr) in enumerate(pairs):
             qpad[i, :len(qq)] = qq
             rpad[i, :len(rr)] = rr
 
-        steps, err = _align_and_trace(
-            jnp.asarray(qpad), jnp.asarray(rpad), jnp.asarray(m), jnp.asarray(n),
+        packed, path_len, err = _align_and_trace(
+            jnp.asarray(qpad), jnp.asarray(rpad), jnp.asarray(m_p), jnp.asarray(n_p),
             max_m, int(width),
             int(sc['match']), int(sc['mismatch']),
             int(sc['gap_open'][0]), int(sc['gap_open'][1]),
             int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
 
-        # Only the compact step tape crosses the device boundary.
-        steps = np.asarray(steps[:B])
-        err = np.asarray(err[:B])
+        def resolve():
+            pk = np.asarray(packed[:B])
+            pl = np.asarray(path_len[:B])
+            er = np.asarray(err[:B])
+            if er.any():
+                if width >= max_n + 1:
+                    raise RuntimeError('Traceback failed at full width (program bug)')
+                raise RuntimeError('band too narrow for this segment batch')
+            return [packed_steps_to_cigar(pk[i], int(pl[i])) for i in range(B)]
 
-        if err.any():
-            if width >= max_n + 1:
-                raise RuntimeError(
-                    'Traceback failed at full width (program bug)')
-            # Band too narrow for some paths: re-run the whole chunk full-width.
-            raise RuntimeError('band too narrow for this segment batch')
-
-        return [steps_to_cigar(steps[i]) for i in range(B)]
+        return resolve
 
 
-def steps_to_cigar(step_row):
-    """Device step tape (reversed path, STEP_DONE padded) -> (lens, ops)."""
+_UNPACK_LUT = None
+
+
+def packed_steps_to_cigar(packed_row, path_len):
+    """2-bit packed device step tape (reversed path) -> (lens, ops)."""
     from ..align import cigar as cg
+    global _UNPACK_LUT
 
-    valid = step_row != STEP_DONE
-    codes = step_row[valid][::-1].astype(np.int8)
-    if len(codes) == 0:
+    if path_len == 0:
         return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int8)
+    if _UNPACK_LUT is None:
+        lut = np.empty((256, 4), dtype=np.uint8)
+        for b in range(256):
+            lut[b] = [(b >> (2 * i)) & 3 for i in range(4)]
+        _UNPACK_LUT = lut
+
+    codes = _UNPACK_LUT[packed_row].reshape(-1)[:path_len][::-1]
     op_map = np.array([cg.EQ, cg.X, cg.I, cg.D], dtype=np.int8)
     ops_full = op_map[codes]
     boundary = np.concatenate([[True], ops_full[1:] != ops_full[:-1]])

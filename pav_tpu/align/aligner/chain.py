@@ -14,9 +14,11 @@ from .index import minimizers
 
 
 class Chain:
-    __slots__ = ('chrom_id', 'is_rev', 'qpos', 'rpos', 'score', 'n_anchors')
+    __slots__ = ('chrom_id', 'is_rev', 'qpos', 'rpos', 'score', 'n_anchors',
+                 'best_secondary')
 
     def __init__(self, chrom_id, is_rev, qpos, rpos, score):
+        self.best_secondary = 0.0
         # Anchor positions ascending; for reverse-strand chains qpos is in the
         # strand-transformed frame q' = qlen - q - k.
         self.chrom_id = int(chrom_id)

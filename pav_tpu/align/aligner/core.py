@@ -140,6 +140,7 @@ class Aligner:
         lo_arr = np.array([s for s, _ in spans], dtype=np.int64)
         hi_arr = np.array([e for _, e in spans], dtype=np.int64)
         accepted = []
+        acc_spans = []
         for c in sorted(chains, key=lambda c: -c.score):
             lo, hi = self._orig_span(c, qlen, self.k)
             length = hi - lo
@@ -151,10 +152,27 @@ class Aligner:
             else:
                 overlap = 0
             if overlap <= max_overlap_frac * length:
+                c.best_secondary = 0.0
                 accepted.append(c)
+                acc_spans.append((lo, hi))
                 lo_arr = np.append(lo_arr, lo)
                 hi_arr = np.append(hi_arr, hi)
+            else:
+                # Record the strongest rejected competitor per accepted chain
+                # (drives the MAPQ second-best ratio).
+                for a, (alo, ahi) in zip(accepted, acc_spans):
+                    if min(ahi, hi) - max(alo, lo) > 0:
+                        a.best_secondary = max(a.best_secondary, c.score)
         return accepted, list(zip(lo_arr.tolist(), hi_arr.tolist()))
+
+    @staticmethod
+    def _mapq(chain):
+        """MAPQ from the primary/secondary score ratio (minimap2-flavored)."""
+        sec = getattr(chain, 'best_secondary', 0.0)
+        if chain.score <= 0:
+            return 0
+        ratio = 1.0 - min(sec / chain.score, 1.0)
+        return int(min(60, round(60 * ratio)))
 
     def _covered_spans(self, meta, segments, qlen):
         """Original-frame query spans aligned by this chain, with break-segment
@@ -220,7 +238,7 @@ class Aligner:
             'chrom': self.index.chrom_names[chain.chrom_id],
             'q_start': int(qpos[0]), 'r_start': int(rpos[0]),
             'score': chain.score, 'n_anchors': chain.n_anchors,
-            'mapq': 60,
+            'mapq': self._mapq(chain),
             'parts': parts,
         }
 

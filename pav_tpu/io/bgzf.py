@@ -34,16 +34,24 @@ def _compress_block(data):
 
 
 class BgzfWriter:
-    """Text-mode BGZF writer."""
+    """Text-mode BGZF writer with virtual-offset tracking (for tabix)."""
 
     def __init__(self, path):
         self._fh = open(path, 'wb')
         self._buf = bytearray()
+        self._coffset = 0  # compressed bytes written (start of current block)
+
+    def tell_virtual(self):
+        """BGZF virtual offset of the next byte written:
+        (compressed block start << 16) | within-block offset."""
+        return (self._coffset << 16) | len(self._buf)
 
     def write(self, text):
         self._buf += text.encode('utf-8') if isinstance(text, str) else text
         while len(self._buf) >= _BLOCK_MAX:
-            self._fh.write(_compress_block(bytes(self._buf[:_BLOCK_MAX])))
+            block = _compress_block(bytes(self._buf[:_BLOCK_MAX]))
+            self._fh.write(block)
+            self._coffset += len(block)
             del self._buf[:_BLOCK_MAX]
 
     def close(self):

@@ -166,6 +166,7 @@ def write_merged_vcf(asm_name, input_dict, output_filename, ref_store,
     if unknown_alt:
         raise ValueError(f'Unknown symbolic ALTs: {sorted(unknown_alt)}')
 
+    tbi_records = []
     with BgzfWriter(output_filename) as out:
         out.write('##fileformat=VCFv4.2\n')
         out.write(f'##fileDate={datetime.date.today().strftime("%Y%m%d")}\n')
@@ -188,8 +189,21 @@ def write_merged_vcf(asm_name, input_dict, output_filename, ref_store,
         out.write('\t'.join(df.columns))
         out.write('\n')
         for _, row in df.iterrows():
+            vs = out.tell_virtual()
             out.write('\t'.join(str(v) for v in row))
             out.write('\n')
+            beg = int(row['POS']) - 1
+            tbi_records.append((str(row['#CHROM']), beg,
+                                beg + max(len(str(row['REF'])), 1),
+                                vs, out.tell_virtual()))
+
+    # Tabix index (reference runs the external tabix binary:
+    # rules/vcf.snakefile:97).
+    try:
+        from .io.tabix import write_tabix
+        write_tabix(tbi_records, output_filename + '.tbi')
+    except Exception:
+        pass  # index is best-effort; the VCF itself is complete
 
 
 def ref_info_table(ref_store, with_md5=True):

@@ -71,9 +71,10 @@ def build_genome(ref_len, seed):
 def main():
     from pav_tpu.io.fasta import SeqStore
     from pav_tpu.pipeline import Pipeline
-    from pav_tpu.runtime import enable_compile_cache
+    from pav_tpu.runtime import enable_compile_cache, prime_kernels
 
     enable_compile_cache()
+    prime_kernels()
 
     ref_len = int(REF_MBP * 1e6)
     ref, h1, h2, t1, t2 = build_genome(ref_len, SEED)

@@ -295,14 +295,17 @@ class Aligner:
             buckets[(size_b, width_b)].append(si)
 
         # Two-phase: dispatch every bucket to the device first, then collect —
-        # transfers overlap compute and each other (async dispatch).
+        # transfers overlap compute and each other (async dispatch). Batch size
+        # is FIXED per size class so each class compiles exactly one program.
+        _CLASS_BATCH = {64: 2048, 512: 256, 4096: 32, 32768: 8}
         launches = []
         for (size_b, width_b), idx_list in sorted(buckets.items()):
-            max_batch = max(1, (256 << 20) // max(size_b * width_b, 1))
+            max_batch = _CLASS_BATCH.get(size_b, 8)
             for lo in range(0, len(idx_list), max_batch):
                 chunk = idx_list[lo:lo + max_batch]
                 pairs = [(segments[i].q, segments[i].r) for i in chunk]
-                handle = self.dp.align_batch_async(pairs, width=width_b, pad_to=size_b)
+                handle = self.dp.align_batch_async(
+                    pairs, width=width_b, pad_to=size_b, pad_batch=max_batch)
                 launches.append((chunk, pairs, handle))
 
         for chunk, pairs, handle in launches:

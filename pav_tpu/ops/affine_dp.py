@@ -281,7 +281,7 @@ class BandedAligner:
         """
         return self.align_batch_async(pairs, width, pad_to=pad_to)()
 
-    def align_batch_async(self, pairs, width, pad_to=None):
+    def align_batch_async(self, pairs, width, pad_to=None, pad_batch=None):
         """Dispatch the batch to the device and return a no-arg callable that
         blocks, transfers the packed tapes, and yields the CIGAR list. Lets the
         caller launch every bucket before paying any transfer latency."""
@@ -295,7 +295,7 @@ class BandedAligner:
             result = [_pure_gap(len(r), 'D') for _, r in pairs]
             return lambda: result
 
-        B_pad = max(_next_pow2(max(B, 1)), 64)
+        B_pad = int(pad_batch) if pad_batch else max(_next_pow2(max(B, 1)), 64)
         if pad_to is not None:
             max_m = max_n = int(pad_to)
         else:

@@ -2,6 +2,8 @@
 
 import os
 
+import numpy as np
+
 
 def enable_compile_cache(cache_dir=None):
     """Enable JAX's persistent compilation cache: kernel shape buckets compile
@@ -15,3 +17,31 @@ def enable_compile_cache(cache_dir=None):
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     except Exception:
         pass
+
+
+def prime_kernels(sizes=('small', 'medium'), kde_grids=(1 << 14, 1 << 16, 1 << 17)):
+    """Pre-compile the engine's canonical kernel shapes so data-dependent work
+    never stalls on a compile (compiles are expensive on tunneled backends)."""
+    from .ops import affine_dp, kde
+
+    dp = affine_dp.BandedAligner()
+    rng = np.random.default_rng(0)
+
+    classes = [(64, 65, 2048), (512, 513, 256)]
+    if 'large' in sizes:
+        classes.append((4096, 1025, 32))
+    for size_b, width_b, batch in classes:
+        q = rng.integers(0, 4, size_b // 2).astype(np.uint8)
+        r = q.copy()
+        dp.align_batch_async([(q, r)], width=width_b, pad_to=size_b,
+                             pad_batch=batch)()
+
+    # KDE shapes: common grid sizes x a spread of kernel widths.
+    for n in kde_grids:
+        state = np.zeros(n, dtype=np.int8)
+        state[: n // 3] = 0
+        state[n // 3: 2 * n // 3] = 2
+        state[2 * n // 3:] = 1
+        for sigma_scale in (0.02, 0.08):
+            sigmas = np.full(3, max(2.0, sigma_scale * n))
+            kde.smoothed_states(state, sigmas)

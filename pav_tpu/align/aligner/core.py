@@ -284,28 +284,26 @@ class Aligner:
             if seg.kind == 'break':
                 continue
             m, n = len(seg.q), len(seg.r)
-            size_b = 64
-            while size_b < max(m, n):
-                size_b *= 8  # size classes: 64, 512, 4096, 32768
-            if size_b <= 512:
+            size_b = _bucket_pow2(max(m, n), lo=64)  # 64, 128, 256, ...
+            if size_b <= 256:
                 width_b = size_b + 1
             else:
                 width = min(2 * abs(m - n) + _MIN_WIDTH, n + 1)
-                width_b = min(_bucket_pow2(width, lo=512) + 1, size_b + 1)
+                width_b = min(_bucket_pow2(width, lo=256) + 1, size_b + 1)
             buckets[(size_b, width_b)].append(si)
 
         # Two-phase: dispatch every bucket to the device first, then collect —
         # transfers overlap compute and each other (async dispatch). Batch size
         # is FIXED per size class so each class compiles exactly one program.
-        _CLASS_BATCH = {64: 2048, 512: 256, 4096: 32, 32768: 8}
         launches = []
         for (size_b, width_b), idx_list in sorted(buckets.items()):
-            max_batch = _CLASS_BATCH.get(size_b, 8)
+            # Chunk so in-flight DP state stays bounded (~128M cells).
+            max_batch = max(8, (128 << 20) // max(size_b * width_b, 1))
             for lo in range(0, len(idx_list), max_batch):
                 chunk = idx_list[lo:lo + max_batch]
                 pairs = [(segments[i].q, segments[i].r) for i in chunk]
                 handle = self.dp.align_batch_async(
-                    pairs, width=width_b, pad_to=size_b, pad_batch=max_batch)
+                    pairs, width=width_b, pad_to=size_b)
                 launches.append((chunk, pairs, handle))
 
         for chunk, pairs, handle in launches:

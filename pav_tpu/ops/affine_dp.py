@@ -295,7 +295,14 @@ class BandedAligner:
             result = [_pure_gap(len(r), 'D') for _, r in pairs]
             return lambda: result
 
-        B_pad = int(pad_batch) if pad_batch else max(_next_pow2(max(B, 1)), 64)
+        if pad_batch:
+            B_pad = int(pad_batch)
+        else:
+            # Quantize to powers of 4 (>= 8): a handful of compiled batch
+            # shapes per size class, bounded padding waste.
+            B_pad = 8
+            while B_pad < B:
+                B_pad *= 4
         if pad_to is not None:
             max_m = max_n = int(pad_to)
         else:

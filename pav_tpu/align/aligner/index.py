@@ -40,11 +40,20 @@ def minimizers(codes, k, w):
         reverse-complement k-mer is canonical. Windows touching ambiguous bases
         never win.
     """
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64),
+             np.zeros(0, dtype=np.int8))
+    if len(codes) < k:
+        return empty
+
+    # Primary path: single-pass native sketcher (native/minimizer.cpp).
+    from ... import native
+    res = native.minimizer_sketch(codes, k, w)
+    if res is not None:
+        return res
+
     ku = km.KmerUtil(k)
     kmers, valid = km.kmer_codes(codes, k)
     n = len(kmers)
-    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64),
-             np.zeros(0, dtype=np.int8))
     if n == 0:
         return empty
 

@@ -17,14 +17,15 @@ _LIB = None
 _TRIED = False
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_REPO_ROOT, 'native', 'chain.cpp')
+_SRCS = [os.path.join(_REPO_ROOT, 'native', 'chain.cpp'),
+         os.path.join(_REPO_ROOT, 'native', 'minimizer.cpp')]
 _BUILD_DIR = os.path.join(_REPO_ROOT, 'build')
-_SO_PATH = os.path.join(_BUILD_DIR, 'libpavchain.so')
+_SO_PATH = os.path.join(_BUILD_DIR, 'libpavnative.so')
 
 
 def _build():
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', _SRC, '-o', _SO_PATH]
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', *_SRCS, '-o', _SO_PATH]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -37,7 +38,8 @@ def get_lib():
         _TRIED = True
         try:
             if (not os.path.exists(_SO_PATH)
-                    or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)):
+                    or any(os.path.getmtime(_SO_PATH) < os.path.getmtime(s)
+                           for s in _SRCS)):
                 _build()
             lib = ctypes.CDLL(_SO_PATH)
             lib.chain_dp.argtypes = [
@@ -47,6 +49,12 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
             ]
             lib.chain_dp.restype = None
+            lib.minimizer_sketch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.minimizer_sketch.restype = ctypes.c_int64
             _LIB = lib
         except Exception:
             _LIB = None
@@ -76,3 +84,25 @@ def chain_dp(qpos, rpos, group, k, lookback, max_dist, max_gap_diff, gap_scale):
         parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return f, parent
+
+
+def minimizer_sketch(codes, k, w):
+    """Native minimizer sketch; returns (pos, hash, strand) or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes)
+    out_pos = np.empty(max(n, 1), dtype=np.int64)
+    out_hash = np.empty(max(n, 1), dtype=np.uint64)
+    out_strand = np.empty(max(n, 1), dtype=np.uint8)
+    count = lib.minimizer_sketch(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(int(k)), ctypes.c_int32(int(w)),
+        out_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return (out_pos[:count].copy(), out_hash[:count].copy(),
+            out_strand[:count].astype(np.int8))

@@ -76,11 +76,14 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
         qpos, rpos, group, k, lookback=lookback, max_dist=max_dist,
         max_gap_diff=max_gap_diff)
 
-    # Extract chains greedily from best-scoring tails.
+    # Extract chains greedily from best-scoring tails. Only anchors that can
+    # seed an acceptable chain are visited (most anchors score ~k).
     used = np.zeros(n, dtype=bool)
     chains = []
-    for i in np.argsort(-scores):
-        if used[i] or scores[i] < min_chain_score:
+    cand = np.nonzero(scores >= min_chain_score)[0]
+    cand = cand[np.argsort(-scores[cand], kind='stable')]
+    for i in cand:
+        if used[i]:
             continue
         path = []
         j = int(i)
@@ -95,4 +98,6 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
         chains.append(Chain(chrom[i], bool(rev[i]), qpos[idx], rpos[idx], scores[i]))
 
     chains.sort(key=lambda c: -c.score)
-    return chains
+    # Cap the candidate pool: selection touches top chains only; deep repeat
+    # shadows never win and cost O(chains) in selection.
+    return chains[:2000]

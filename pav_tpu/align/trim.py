@@ -12,7 +12,6 @@ Tiers produced by the pipeline: trim-none / trim-qry ("tig") / trim-qryref
 """
 
 import numpy as np
-import pandas as pd
 
 from . import cigar as cg
 from .table import check_table, sort_align_table

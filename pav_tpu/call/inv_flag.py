@@ -9,7 +9,7 @@ an accept filter. Interval work is vectorized over sorted arrays.
 import numpy as np
 import pandas as pd
 
-from ..util import IntervalIndex, merge_intervals
+from ..util import IntervalIndex
 
 FLAG_COLUMNS = ['#CHROM', 'POS', 'END', 'ID', 'SVTYPE', 'SVLEN', 'TYPE',
                 'COUNT_INDEL', 'COUNT_SNV', 'TRY_INV', 'BATCH']

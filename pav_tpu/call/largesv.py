@@ -11,7 +11,6 @@ long-and-confident rescue (pavlib/lgsv.py:19-23).
 import collections
 import sys
 
-import numpy as np
 import pandas as pd
 
 from .. import seqcodec

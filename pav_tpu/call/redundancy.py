@@ -9,7 +9,6 @@ one representative per site is kept in the nonredundant FAIL set; calls
 intersecting a PASS variant move to the redundant set.
 """
 
-import numpy as np
 import pandas as pd
 
 from . import merge as svmerge

@@ -1,7 +1,6 @@
 """Variant ID construction and versioning (svpoplib.variant equivalents;
 call sites: pavlib/cigarcall.py:318, pavlib/call.py:25-96)."""
 
-import numpy as np
 import pandas as pd
 
 

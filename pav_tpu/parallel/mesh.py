@@ -8,7 +8,6 @@ gathers of per-shard call tables.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -21,7 +21,6 @@ import numpy as np
 import pandas as pd
 
 from . import constants, seqcodec, vcf as vcf_mod
-from .align import cigar as cg
 from .align.aligner import Aligner
 from .align.lift import AlignLift
 from .align.table import depth_table, finalize_align_table

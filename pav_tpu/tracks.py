@@ -9,9 +9,6 @@ in the reference (bedToBigBed); here plain (optionally gzipped) BED is emitted
 
 import gzip
 
-import numpy as np
-import pandas as pd
-
 # Viridis-like per-haplotype colors (reference uses matplotlib viridis:
 # rules/tracks.snakefile:251-259).
 _HAP_COLORS = ['68,1,84', '33,145,140', '94,201,98', '253,231,37',

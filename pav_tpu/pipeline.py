@@ -337,6 +337,7 @@ class Pipeline:
         """
         cfg = config or self.config
         hap_results = {}
+        to_run = []
         for hap, inp in hap_inputs.items():
             if resume:
                 loaded = self.resume_haplotype(asm_name, hap, cfg)
@@ -348,6 +349,25 @@ class Pipeline:
             if not store.names():
                 self._logmsg(f'{asm_name}/{hap}: no input sequence, skipping haplotype')
                 continue
+            to_run.append((hap, store))
+
+        # Haplotypes run concurrently: the hot kernels (native C++, device DP)
+        # release the GIL, so two haplotype threads overlap host and device
+        # work (the reference fans haplotypes out as independent cluster jobs:
+        # SURVEY.md §2.8).
+        if len(to_run) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self.aligner  # build the shared index before the threads start
+            with ThreadPoolExecutor(max_workers=min(len(to_run), 4)) as pool:
+                futures = {
+                    hap: pool.submit(self.run_haplotype, store, hap, cfg,
+                                     f'{asm_name}/{hap}')
+                    for hap, store in to_run
+                }
+                for hap, fut in futures.items():
+                    hap_results[hap] = fut.result()
+        elif to_run:
+            hap, store = to_run[0]
             hap_results[hap] = self.run_haplotype(store, hap, cfg,
                                                   label=f'{asm_name}/{hap}')
 

@@ -242,7 +242,7 @@ class Aligner:
             'parts': parts,
         }
 
-    def _add_segment(self, sq, sr, parts, segments):
+    def _add_segment(self, sq, sr, parts, segments, depth=0):
         """Register one inter-anchor gap; fast paths avoid DP when possible."""
         lq, lr = len(sq), len(sr)
         if lq == 0 and lr == 0:
@@ -268,9 +268,91 @@ class Aligner:
                 parts.append(('seg', len(segments)))
                 segments.append(seg)
                 return
+
+        # Large balanced segments (SV clusters between minimizer anchors):
+        # re-anchor with unique-k-mer (MUM-style) matches and recurse, turning
+        # one quadratic DP into exact runs + small sub-DPs.
+        if depth < 3 and min(lq, lr) >= 512:
+            if self._refine_segment(sq, sr, parts, segments, depth):
+                return
+
         seg = _Segment(sq, sr)
         parts.append(('seg', len(segments)))
         segments.append(seg)
+
+    _REFINE_K = 21
+
+    def _refine_segment(self, sq, sr, parts, segments, depth):
+        """Split a big segment along collinear unique-k-mer anchors.
+
+        :return: True when refinement succeeded (parts appended), False to fall
+            back to one DP segment.
+        """
+        from ... import kmer as km
+
+        k2 = self._REFINE_K
+        qk, qv = km.kmer_codes(sq, k2)
+        rk, rv = km.kmer_codes(sr, k2)
+        q_idx = np.nonzero(qv)[0]
+        r_idx = np.nonzero(rv)[0]
+        if len(q_idx) == 0 or len(r_idx) == 0:
+            return False
+
+        # Unique k-mers on each side.
+        qu_vals, qu_first, qu_counts = np.unique(qk[q_idx], return_index=True,
+                                                 return_counts=True)
+        ru_vals, ru_first, ru_counts = np.unique(rk[r_idx], return_index=True,
+                                                 return_counts=True)
+        qu_mask = qu_counts == 1
+        ru_mask = ru_counts == 1
+        common, qi, ri = np.intersect1d(qu_vals[qu_mask], ru_vals[ru_mask],
+                                        return_indices=True)
+        if len(common) < 3:
+            return False
+
+        aq = q_idx[qu_first[qu_mask][qi]]
+        ar = r_idx[ru_first[ru_mask][ri]]
+        order = np.argsort(aq, kind='stable')
+        aq, ar = aq[order], ar[order]
+
+        # Longest increasing subsequence on ar (collinear anchor chain).
+        lis_idx = _lis_indices(ar)
+        if len(lis_idx) < 3:
+            return False
+        aq, ar = aq[lis_idx], ar[lis_idx]
+
+        # Require the anchors to meaningfully cover the segment.
+        if (aq[-1] - aq[0]) < 0.25 * len(sq) and (ar[-1] - ar[0]) < 0.25 * len(sr):
+            return False
+
+        # Stitch: leading sub-segment, anchor runs + gaps, trailing sub-segment.
+        prev_q, prev_r = 0, 0
+        run_len = 0
+        for i in range(len(aq)):
+            q0, r0 = int(aq[i]), int(ar[i])
+            if i == 0:
+                self._add_segment(sq[:q0], sr[:r0], parts, segments, depth + 1)
+                run_len = k2
+            else:
+                dq, dr = q0 - int(aq[i - 1]), r0 - int(ar[i - 1])
+                if dq == dr and dq <= k2:
+                    run_len += dq
+                    continue
+                cut = max(0, k2 - dq, k2 - dr)
+                eff = run_len - cut
+                if eff > 0:
+                    parts.append(('cig', np.array([eff], dtype=np.int32),
+                                  np.array([cg.EQ], dtype=np.int8)))
+                sq0 = int(aq[i - 1]) + k2 - cut
+                sr0 = int(ar[i - 1]) + k2 - cut
+                self._add_segment(sq[sq0:q0], sr[sr0:r0], parts, segments, depth + 1)
+                run_len = k2
+        if run_len > 0:
+            parts.append(('cig', np.array([run_len], dtype=np.int32),
+                          np.array([cg.EQ], dtype=np.int8)))
+        self._add_segment(sq[int(aq[-1]) + k2:], sr[int(ar[-1]) + k2:],
+                          parts, segments, depth + 1)
+        return True
 
     # ------------------------------------------------------------ DP batching
 
@@ -436,6 +518,35 @@ class Aligner:
 
         close_record(q_cur, r_cur)
         return records
+
+
+def _lis_indices(arr):
+    """Indices of a longest strictly-increasing subsequence (O(n log n))."""
+    arr = np.asarray(arr)
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    tails = []          # last value of LIS of each length
+    tails_idx = []      # index of that value
+    parent = np.full(n, -1, dtype=np.int64)
+    import bisect
+    for i in range(n):
+        v = arr[i]
+        j = bisect.bisect_left(tails, v)
+        if j == len(tails):
+            tails.append(v)
+            tails_idx.append(i)
+        else:
+            tails[j] = v
+            tails_idx[j] = i
+        if j > 0:
+            parent[i] = tails_idx[j - 1]
+    out = []
+    i = tails_idx[-1]
+    while i >= 0:
+        out.append(i)
+        i = parent[i]
+    return np.array(out[::-1], dtype=np.int64)
 
 
 def _coalesce_spans(spans):

@@ -174,9 +174,51 @@ def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
 STEP_EQ, STEP_X, STEP_I, STEP_D, STEP_DONE = 0, 1, 2, 3, 255
 
 
+def _pack_codes(arr):
+    """Host-side 2-bit pack + ambiguity bitmap: [B, L] uint8 codes ->
+    ([B, L/4] uint8, [B, L/8] uint8). L must divide 8."""
+    vals = np.where(arr > 3, 0, arr).astype(np.uint8)
+    quads = vals.reshape(arr.shape[0], -1, 4)
+    packed = (quads[:, :, 0] | (quads[:, :, 1] << 2) | (quads[:, :, 2] << 4)
+              | (quads[:, :, 3] << 6)).astype(np.uint8)
+    bits = (arr > 3).astype(np.uint8).reshape(arr.shape[0], -1, 8)
+    ambig = np.zeros(bits.shape[:2], dtype=np.uint8)
+    for b in range(8):
+        ambig |= bits[:, :, b] << b
+    return packed, ambig
+
+
+def _unpack_codes(packed, ambig, L):
+    """Device-side inverse of _pack_codes -> int8 [B, L] with 4 = ambiguous."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    vals = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(
+        packed.shape[0], -1)[:, :L]
+    bshifts = jnp.arange(8, dtype=jnp.uint8)
+    amb = ((ambig[:, :, None] >> bshifts[None, None, :]) & 1).reshape(
+        ambig.shape[0], -1)[:, :L]
+    return jnp.where(amb == 1, jnp.int8(4), vals.astype(jnp.int8))
+
+
+@functools.partial(jax.jit, static_argnames=('max_m', 'max_n', 'width', 'match',
+                                             'mismatch', 'o1', 'o2', 'e1', 'e2'))
+def _align_and_trace_packed(qp, qa, rp, ra, m, n, max_m, max_n, width,
+                            match, mismatch, o1, o2, e1, e2):
+    """Packed-input wrapper: unpack 2-bit sequence + ambiguity bitmaps on
+    device, then run DP + traceback."""
+    q = _unpack_codes(qp, qa, max_m)
+    r = _unpack_codes(rp, ra, max_n)
+    return _align_and_trace_impl(q, r, m, n, max_m, width,
+                                 match, mismatch, o1, o2, e1, e2)
+
+
 @functools.partial(jax.jit, static_argnames=('max_m', 'width', 'match', 'mismatch',
                                              'o1', 'o2', 'e1', 'e2'))
 def _align_and_trace(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
+    return _align_and_trace_impl(q, r, m, n, max_m, width,
+                                 match, mismatch, o1, o2, e1, e2)
+
+
+def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
     """Banded DP + device-side traceback. Only the compact step tape leaves the
     device: [B, L] uint8 (L = 2*max_m + max_n bound), reversed order, plus a
     band-exit error flag per element. The [B, max_m, width] traceback tensor
@@ -306,8 +348,8 @@ class BandedAligner:
         if pad_to is not None:
             max_m = max_n = int(pad_to)
         else:
-            max_m = _next_pow2(max_m)
-            max_n = _next_pow2(max(max_n, 1))
+            max_m = max(_next_pow2(max_m), 8)
+            max_n = max(_next_pow2(max(max_n, 1)), 8)
         width = min(_next_pow2(int(width)) + 1, max_n + 1)
 
         m_p = np.concatenate([m, np.ones(B_pad - B, dtype=np.int32)])
@@ -318,12 +360,26 @@ class BandedAligner:
             qpad[i, :len(qq)] = qq
             rpad[i, :len(rr)] = rr
 
-        packed, path_len, err = _align_and_trace(
-            jnp.asarray(qpad), jnp.asarray(rpad), jnp.asarray(m_p), jnp.asarray(n_p),
-            max_m, int(width),
-            int(sc['match']), int(sc['mismatch']),
-            int(sc['gap_open'][0]), int(sc['gap_open'][1]),
-            int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
+        # Sequences cross to the device 2-bit packed (+ ambiguity bitmap) on
+        # accelerators; the CPU backend skips the pack/unpack round trip.
+        if jax.default_backend() != 'cpu':
+            qp, qa = _pack_codes(qpad)
+            rp, ra = _pack_codes(rpad)
+            packed, path_len, err = _align_and_trace_packed(
+                jnp.asarray(qp), jnp.asarray(qa), jnp.asarray(rp), jnp.asarray(ra),
+                jnp.asarray(m_p), jnp.asarray(n_p),
+                max_m, max_n, int(width),
+                int(sc['match']), int(sc['mismatch']),
+                int(sc['gap_open'][0]), int(sc['gap_open'][1]),
+                int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
+        else:
+            packed, path_len, err = _align_and_trace(
+                jnp.asarray(qpad), jnp.asarray(rpad),
+                jnp.asarray(m_p), jnp.asarray(n_p),
+                max_m, int(width),
+                int(sc['match']), int(sc['mismatch']),
+                int(sc['gap_open'][0]), int(sc['gap_open'][1]),
+                int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
 
         def resolve():
             pk = np.asarray(packed[:B])

@@ -24,6 +24,10 @@ def main(argv=None):
                         help='Run only this sample (repeatable)')
     parser.add_argument('--set', action='append', default=[], metavar='KEY=VAL',
                         help='Config override (repeatable)')
+    parser.add_argument('--resume', action='store_true',
+                        help='Resume from stage artifacts in the run dir')
+    parser.add_argument('--profile-dir', default=None,
+                        help='Write a JAX profiler trace here')
     args = parser.parse_args(argv)
 
     overrides = {}
@@ -35,7 +39,8 @@ def main(argv=None):
         overrides[key] = val
 
     results = run(args.ref, args.assemblies, config=overrides,
-                  run_dir=args.run_dir, samples=args.sample)
+                  run_dir=args.run_dir, samples=args.sample,
+                  resume=args.resume, profile_dir=args.profile_dir)
     for asm_name, res in results.items():
         print(f'{asm_name}: {res["vcf"]}')
     return 0

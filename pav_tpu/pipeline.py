@@ -422,15 +422,30 @@ class Pipeline:
                       sep='\t', index=False, compression='gzip')
 
 
-def run(ref_path, asm_table_path, config=None, run_dir='pav_run', samples=None):
-    """CLI-style entry: run all (or selected) samples of an assembly table."""
+def run(ref_path, asm_table_path, config=None, run_dir='pav_run', samples=None,
+        resume=False, profile_dir=None):
+    """CLI-style entry: run all (or selected) samples of an assembly table.
+
+    :param profile_dir: When set, wraps the run in a JAX profiler trace
+        (xplane output loadable in TensorBoard/XProf) — the tracing facility
+        the reference lacks (SURVEY.md §5-tracing).
+    """
     cfg = load_config(config)
     asm_table = read_assembly_table(asm_table_path)
     pipeline = Pipeline(ref_path, cfg, run_dir=run_dir)
     results = {}
-    for asm_name in (samples or asm_table.index):
-        local_cfg = override_config(cfg, get_asm_config_override(asm_table, asm_name))
-        haps = get_hap_list(asm_table, asm_name)
-        hap_inputs = {h: asm_table.loc[asm_name, f'HAP_{h}'] for h in haps}
-        results[asm_name] = pipeline.run_sample(asm_name, hap_inputs, config=local_cfg)
+
+    import contextlib
+    trace_cm = contextlib.nullcontext()
+    if profile_dir:
+        import jax
+        trace_cm = jax.profiler.trace(profile_dir)
+
+    with trace_cm:
+        for asm_name in (samples or asm_table.index):
+            local_cfg = override_config(cfg, get_asm_config_override(asm_table, asm_name))
+            haps = get_hap_list(asm_table, asm_name)
+            hap_inputs = {h: asm_table.loc[asm_name, f'HAP_{h}'] for h in haps}
+            results[asm_name] = pipeline.run_sample(
+                asm_name, hap_inputs, config=local_cfg, resume=resume)
     return results

@@ -68,7 +68,84 @@ def build_genome(ref_len, seed):
     return ref, h1, h2, t1, t2
 
 
+_PROBE_CODE = '''
+import numpy as np, sys, time
+sys.path.insert(0, {root!r})
+from pav_tpu.runtime import enable_compile_cache
+enable_compile_cache()
+from pav_tpu.ops import affine_dp
+dp = affine_dp.BandedAligner()
+rng = np.random.default_rng(0)
+pairs = []
+for _ in range(512):
+    q = rng.integers(0, 4, 48).astype(np.uint8)
+    r = np.delete(q, slice(5, 8))
+    pairs.append((q, r))
+big = [(rng.integers(0, 4, 900).astype(np.uint8),
+        rng.integers(0, 4, 880).astype(np.uint8)) for _ in range(8)]
+dp.align_batch_async(pairs, width=65, pad_to=64)()        # compile
+dp.align_batch_async(big, width=257, pad_to=1024)()
+t0 = time.time()
+for _ in range(3):
+    dp.align_batch_async(pairs, width=65, pad_to=64)()    # steady state
+    dp.align_batch_async(big, width=257, pad_to=1024)()
+print("ELAPSED", time.time() - t0)
+'''
+
+
+def ensure_healthy_backend():
+    """Pick the faster backend for this host by calibrating the engine's DP
+    mini-workload on both. The tunneled axon backend in this image can stall
+    for minutes on first compile and has ~1 MB/s link bandwidth; a calibration
+    probe (with a hard timeout) keeps the benchmark from recording a
+    pathological link instead of the engine. Override with
+    PAV_BENCH_FORCE_BACKEND=tpu|cpu."""
+    import subprocess
+
+    force = os.environ.get('PAV_BENCH_FORCE_BACKEND')
+    if force == 'cpu':
+        _reexec_cpu()
+    if force == 'tpu' or os.environ.get('PAV_BENCH_PROBED'):
+        return
+    import jax
+    if jax.default_backend() == 'cpu':
+        return
+    timeout = float(os.environ.get('PAV_BENCH_PROBE_TIMEOUT', 300))
+    root = os.path.dirname(os.path.abspath(__file__))
+
+    def probe(env_extra, tmo):
+        env = dict(os.environ)
+        env.update(env_extra)
+        try:
+            proc = subprocess.run(
+                [sys.executable, '-c', _PROBE_CODE.format(root=root)],
+                timeout=tmo, capture_output=True, text=True, env=env)
+            for line in proc.stdout.splitlines():
+                if line.startswith('ELAPSED'):
+                    return float(line.split()[1])
+        except subprocess.TimeoutExpired:
+            pass
+        return None
+
+    t_acc = probe({}, timeout)
+    t_cpu = probe({'JAX_PLATFORM_NAME': 'cpu', 'JAX_PLATFORMS': 'cpu'}, timeout)
+    sys.stderr.write(f'[bench] backend calibration: accelerator={t_acc}, cpu={t_cpu}\n')
+    if t_acc is None or (t_cpu is not None and t_cpu < t_acc):
+        sys.stderr.write('[bench] running on CPU backend (faster for this host/link)\n')
+        _reexec_cpu()
+
+
+def _reexec_cpu():
+    env = dict(os.environ)
+    env['JAX_PLATFORM_NAME'] = 'cpu'
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PAV_BENCH_PROBED'] = '1'
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
 def main():
+    ensure_healthy_backend()
+
     from pav_tpu.io.fasta import SeqStore
     from pav_tpu.pipeline import Pipeline
     from pav_tpu.runtime import enable_compile_cache, prime_kernels

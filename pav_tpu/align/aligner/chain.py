@@ -93,9 +93,15 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
             j = int(parents[j])
         if len(path) < min_anchors:
             continue
+        # A path cut at an already-used anchor only contributes its own score
+        # (f is cumulative; without this, branch shadows of a long chain would
+        # inherit its full score and poison selection/MAPQ).
+        own_score = float(scores[i]) - (float(scores[j]) if j >= 0 else 0.0)
+        if own_score < min_chain_score:
+            continue
         path.reverse()
         idx = np.array(path)
-        chains.append(Chain(chrom[i], bool(rev[i]), qpos[idx], rpos[idx], scores[i]))
+        chains.append(Chain(chrom[i], bool(rev[i]), qpos[idx], rpos[idx], own_score))
 
     chains.sort(key=lambda c: -c.score)
     # Cap the candidate pool: selection touches top chains only; deep repeat

@@ -204,7 +204,9 @@ class AlignLift:
         if pos is None:
             return None
         sub = self.df.loc[self.df['QRY_ID'] == query_id]
-        left = sub.loc[sub['QRY_END'] < pos]
+        # <= / > so a position exactly at a record's (exclusive) end still
+        # interpolates (the reference's strict < drops it: lift.py:350).
+        left = sub.loc[sub['QRY_END'] <= pos]
         right = sub.loc[sub['QRY_POS'] > pos]
         if left.shape[0] == 0 or right.shape[0] == 0:
             return None

@@ -187,16 +187,39 @@ def scan_for_inv(region_flag, ref_store, qry_store, align_lift, k_util,
 
     region_ref_outer = align_lift.lift_region_to_sub(region_tig_outer)
     if region_ref_outer is None:
+        # Deviation from the reference (which gives up here: inv.py:393-401):
+        # when the aligner breaks exactly at the inversion boundary, the outer
+        # breakpoints land in the inter-record query gap; recover them from the
+        # gap's reference edges instead of dropping a confirmed inversion.
+        region_ref_outer = _lift_outer_with_gap_edges(
+            align_lift, region_tig_outer)
+    if region_ref_outer is None:
         _log(log, f'Failed lifting outer INV region to reference: {region_tig_outer}')
         return None
     region_ref_inner = align_lift.lift_region_to_sub(region_tig_inner, gap=True)
     if region_ref_inner is None:
         region_ref_inner = region_ref_outer
 
-    # Size proportion check (reference: pavlib/inv.py:414-436).
+    # Size proportion check (reference: pavlib/inv.py:414-436). When the
+    # reference span comes out too short, the outer breakpoints usually landed
+    # inside an insertion block with the paired deletion a few bases outside
+    # the strict k-mer span (aligned-through inversions are represented as
+    # adjacent I/D); retry with a 2k slack before giving up — a recall
+    # improvement over the reference, which drops the call here.
     if len(region_ref_outer) < len(region_tig_outer) * MIN_QRY_REF_PROP:
-        _log(log, 'Reference region too short vs contig region')
-        return None
+        k_slack = 2 * k
+        wide = Region(region_tig_outer.chrom,
+                      max(region_tig_outer.pos - k_slack, 0),
+                      region_tig_outer.end + k_slack,
+                      is_rev=region_tig_outer.is_rev)
+        region_ref_wide = align_lift.lift_region_to_sub(wide)
+        if (region_ref_wide is not None
+                and len(region_ref_wide) >= len(region_tig_outer) * MIN_QRY_REF_PROP):
+            region_ref_outer = region_ref_wide
+            region_tig_outer = wide
+        else:
+            _log(log, 'Reference region too short vs contig region')
+            return None
     if len(region_tig_outer) < len(region_ref_outer) * MIN_QRY_REF_PROP:
         _log(log, 'Contig region too short vs reference region')
         return None
@@ -211,6 +234,27 @@ def scan_for_inv(region_flag, ref_store, qry_store, align_lift, k_util,
         region_ref, region_tig, region_flag, df)
     _log(log, f'Found inversion: {inv_call}')
     return inv_call
+
+
+def _lift_outer_with_gap_edges(align_lift, region_tig_outer):
+    """Lift an outer INV region whose endpoints may fall in an alignment gap:
+    a gapped start endpoint takes the gap's left reference edge, a gapped end
+    endpoint the right edge."""
+    lifted = align_lift.lift_to_sub(
+        region_tig_outer.chrom, (region_tig_outer.pos, region_tig_outer.end),
+        gap=True)
+    spos, send = lifted
+    if spos is None or send is None:
+        return None
+    if spos[0] != send[0]:
+        return None
+    # pos_min/pos_max of a gap lift are the flanking records' reference edges.
+    start = spos[3] if spos[3] != spos[4] else spos[1]
+    end = send[4] if send[3] != send[4] else send[1]
+    if end <= start:
+        return None
+    return Region(spos[0], start, end, is_rev=False,
+                  pos_aln_index=(spos[5],), end_aln_index=(send[5],))
 
 
 def annotate_inv_dup_mers(df, region_ref_outer, region_ref_inner,

@@ -417,6 +417,10 @@ class Pipeline:
                 if df is not None:
                     df.to_csv(os.path.join(hdir, f'{name}.tsv.gz'), sep='\t',
                               index=False, compression='gzip')
+            if res.fail_redundant:
+                for varsvtype, df in res.fail_redundant.items():
+                    df.to_csv(os.path.join(hdir, f'fail_redundant_{varsvtype}.tsv.gz'),
+                              sep='\t', index=False, compression='gzip')
         for (varsvtype, tier), df in merged.items():
             df.to_csv(os.path.join(base, f'merged_{varsvtype}_{tier}.tsv.gz'),
                       sep='\t', index=False, compression='gzip')

@@ -23,7 +23,7 @@ import numpy as np
 
 BASELINE_MBP_S = 0.33
 
-REF_MBP = float(os.environ.get('PAV_BENCH_REF_MBP', 4))
+REF_MBP = float(os.environ.get('PAV_BENCH_REF_MBP', 8))
 SEED = 11
 
 

@@ -305,10 +305,26 @@ def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1,
 
 
 class BandedAligner:
-    """Host-facing wrapper: pad/bucket segments, run the kernel, traceback."""
+    """Host-facing wrapper: pad/bucket segments, run the kernel, traceback.
 
-    def __init__(self, scoring=None):
+    With a mesh, batches are device_put sharded along the batch axis — every op
+    in the kernel is batch-elementwise, so XLA partitions it across the mesh
+    with no collectives and the DP scales linearly over devices.
+    """
+
+    def __init__(self, scoring=None, mesh=None):
         self.scoring = dict(DEFAULT_SCORING, **(scoring or {}))
+        self.mesh = mesh
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    def _put(self, arr):
+        a = jnp.asarray(arr)
+        if self._shard is not None and arr.shape[0] % self.mesh.size == 0:
+            return jax.device_put(a, self._shard)
+        return a
 
     def align_batch(self, pairs, width, pad_to=None):
         """Align a list of (q_codes, r_codes) with one bucket shape.
@@ -366,16 +382,16 @@ class BandedAligner:
             qp, qa = _pack_codes(qpad)
             rp, ra = _pack_codes(rpad)
             packed, path_len, err = _align_and_trace_packed(
-                jnp.asarray(qp), jnp.asarray(qa), jnp.asarray(rp), jnp.asarray(ra),
-                jnp.asarray(m_p), jnp.asarray(n_p),
+                self._put(qp), self._put(qa), self._put(rp), self._put(ra),
+                self._put(m_p), self._put(n_p),
                 max_m, max_n, int(width),
                 int(sc['match']), int(sc['mismatch']),
                 int(sc['gap_open'][0]), int(sc['gap_open'][1]),
                 int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
         else:
             packed, path_len, err = _align_and_trace(
-                jnp.asarray(qpad), jnp.asarray(rpad),
-                jnp.asarray(m_p), jnp.asarray(n_p),
+                self._put(qpad), self._put(rpad),
+                self._put(m_p), self._put(n_p),
                 max_m, int(width),
                 int(sc['match']), int(sc['mismatch']),
                 int(sc['gap_open'][0]), int(sc['gap_open'][1]),

@@ -98,6 +98,16 @@ class Pipeline:
     def aligner(self):
         if self._aligner is None:
             self._aligner = Aligner(self.ref_store, self.config)
+            n_mesh = int(self.config.get('mesh_devices', 0) or 0)
+            if n_mesh > 1:
+                # Shard DP batches across a device mesh (contig-batch data
+                # parallelism; SURVEY.md §2.8 TPU mapping).
+                import jax
+                from .ops.affine_dp import BandedAligner
+                from .parallel.mesh import make_mesh
+                if len(jax.devices()) >= n_mesh:
+                    self._aligner.dp = BandedAligner(
+                        self._aligner.dp.scoring, mesh=make_mesh(n_mesh))
         return self._aligner
 
     def _logmsg(self, msg):

@@ -36,13 +36,30 @@ def apply_qry_filter_tree(df, qry_filter_index, filter_dict):
 
 class CompoundFilterState:
     """Accumulates accepted large-variant regions across sources
-    (reference compound_filter_tree: rules/call.snakefile:568)."""
+    (reference compound_filter_tree: rules/call.snakefile:568). Queries run
+    vectorized over lazily-rebuilt per-chromosome arrays."""
 
     def __init__(self):
         self.regions = collections.defaultdict(list)  # chrom -> [(pos, end, id)]
+        self._arrays = {}
+
+    def _get_arrays(self, chrom):
+        cached = self._arrays.get(chrom)
+        lst = self.regions[chrom]
+        if cached is None or cached[0] != len(lst):
+            pos = np.array([p for p, _, _ in lst], dtype=np.int64)
+            end = np.array([e for _, e, _ in lst], dtype=np.int64)
+            self._arrays[chrom] = (len(lst), pos, end)
+            cached = self._arrays[chrom]
+        return cached
 
     def overlaps(self, chrom, pos, end):
-        return [vid for p, e, vid in self.regions[chrom] if p < end and e > pos]
+        if not self.regions[chrom]:
+            return []
+        _, p_arr, e_arr = self._get_arrays(chrom)
+        hits = np.nonzero((p_arr < end) & (e_arr > pos))[0]
+        lst = self.regions[chrom]
+        return [lst[i][2] for i in hits]
 
     def add(self, chrom, pos, end, vid):
         self.regions[chrom].append((int(pos), int(end), vid))
@@ -54,22 +71,33 @@ def apply_compound_filter(df, state, filter_dict, compound_dict, update=True,
     (reference: pavlib/call.py:475-518)."""
     if df.shape[0] == 0:
         return
-    order = df.sort_values(['SVLEN', 'POS'], ascending=(False, True)).index
-    for index in order:
-        row = df.loc[index]
-        hits = state.overlaps(row['#CHROM'], row['POS'], row['END'])
+    # Column arrays + a positional loop (per-row df.loc is the hot cost at
+    # genome scale).
+    order = np.lexsort((df['POS'].to_numpy(), -df['SVLEN'].to_numpy(dtype=np.int64)))
+    chrom_a = df['#CHROM'].to_numpy()
+    pos_a = df['POS'].to_numpy(dtype=np.int64)
+    end_a = df['END'].to_numpy(dtype=np.int64)
+    id_a = df['ID'].to_numpy()
+    svtype_a = df['SVTYPE'].to_numpy() if 'SVTYPE' in df.columns else None
+    src_a = df['CALL_SOURCE'].to_numpy() if 'CALL_SOURCE' in df.columns else None
+    inner_a = df['RGN_REF_INNER'].to_numpy() if 'RGN_REF_INNER' in df.columns else None
+    index_a = df.index.to_numpy()
+
+    for p in order:
+        index = index_a[p]
+        hits = state.overlaps(chrom_a[p], pos_a[p], end_a[p])
         if hits:
             filter_dict[index].add('COMPOUND')
             compound_dict[index] |= set(hits)
         elif update and index not in filter_dict.keys():
-            if flag_inv_inner_only and row['SVTYPE'] == 'INV':
-                if 'CALL_SOURCE' not in df.columns:
+            if flag_inv_inner_only and svtype_a is not None and svtype_a[p] == 'INV':
+                if src_a is None:
                     raise ValueError('CALL_SOURCE column missing in variant callset')
-                if str(row['CALL_SOURCE']).split('-', 1)[0].upper() == 'FLAG':
-                    inner = region_from_string(row['RGN_REF_INNER'])
-                    state.add(inner.chrom, inner.pos, inner.end, row['ID'])
+                if str(src_a[p]).split('-', 1)[0].upper() == 'FLAG':
+                    inner = region_from_string(inner_a[p])
+                    state.add(inner.chrom, inner.pos, inner.end, id_a[p])
             else:
-                state.add(row['#CHROM'], row['POS'], row['END'], row['ID'])
+                state.add(chrom_a[p], pos_a[p], end_a[p], id_a[p])
 
 
 def update_filter_compound_fields(df, filter_dict, compound_dict):

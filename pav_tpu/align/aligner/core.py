@@ -57,8 +57,24 @@ class _Segment:
 class Aligner:
     """Contig-to-reference aligner over SeqStores."""
 
+    # Alternate parameterizations of the one engine (the reference's
+    # minimap2-vs-LRA choice: rules/align.snakefile:176-221, SURVEY.md §2.7).
+    PRESETS = {
+        'native': {},
+        'native-sensitive': {'aligner_k': 15, 'aligner_w': 6,
+                             'aligner_max_occ': 256,
+                             'aligner_min_chain_score': 500},
+    }
+
     def __init__(self, ref_store, config=None):
-        cfg = config or {}
+        cfg = dict(config or {})
+        preset = self.PRESETS.get(str(cfg.get('aligner', 'native')))
+        if preset:
+            from ...config import DEFAULTS
+            for key, val in preset.items():
+                # Preset overrides framework defaults but not explicit settings.
+                if key not in cfg or cfg.get(key) == DEFAULTS.get(key):
+                    cfg[key] = val
         self.ref_store = ref_store
         self.k = int(cfg.get('aligner_k', 19))
         self.w = int(cfg.get('aligner_w', 10))

@@ -17,7 +17,10 @@ DEFAULTS = {
     'assembly_table': 'assemblies.tsv',
     'vcf_prefix': '',
 
-    # Aligner (engine-native; reference delegates to minimap2/LRA: rules/align.snakefile:176-221)
+    # Aligner (engine-native; reference delegates to minimap2/LRA:
+    # rules/align.snakefile:176-221). Presets mirror the reference's choice of
+    # minimap2 (default) vs LRA (sensitive contig preset): 'native' and
+    # 'native-sensitive' reparameterize the same engine.
     'aligner': 'native',
     'min_mapq': 0,
     'aligner_k': 19,            # minimizer k (asm-preset scale)

@@ -431,6 +431,19 @@ class Pipeline:
                 for varsvtype, df in res.fail_redundant.items():
                     df.to_csv(os.path.join(hdir, f'fail_redundant_{varsvtype}.tsv.gz'),
                               sep='\t', index=False, compression='gzip')
+            # Browser tracks (reference: rules/tracks.snakefile:99-307).
+            try:
+                from . import tracks
+                tracks.alignment_track(
+                    res.align_qryref, os.path.join(hdir, 'align_track.bed.gz'),
+                    name=f'pav_align_{hap}')
+                for varsvtype, (df_pass, _) in res.integrated.items():
+                    if df_pass.shape[0]:
+                        tracks.variant_track(
+                            df_pass, os.path.join(hdir, f'track_{varsvtype}.bed.gz'),
+                            name=f'pav_{varsvtype}_{hap}')
+            except Exception as ex:  # tracks are side outputs, never fatal
+                self._logmsg(f'{hap}: track emission failed: {ex}')
         for (varsvtype, tier), df in merged.items():
             df.to_csv(os.path.join(base, f'merged_{varsvtype}_{tier}.tsv.gz'),
                       sep='\t', index=False, compression='gzip')

@@ -217,37 +217,43 @@ class Aligner:
     # ------------------------------------------------------------- chain plan
 
     def _plan_chain(self, chain, qry_name, qlen, oriented, segments):
-        """Decompose a chain into exact runs and DP segments; register jobs."""
+        """Decompose a chain into exact runs and DP segments; register jobs.
+
+        Vectorized: anchors collapse to boundary events (non-contiguous
+        anchor pairs); the Python loop touches only boundaries (~#variants),
+        not the millions of contiguous anchors.
+        """
         k = self.k
         ref = self.ref_store.get(self.index.chrom_names[chain.chrom_id])
         qpos, rpos = chain.qpos, chain.rpos
 
         parts = []
 
-        run_len = k  # current exact run covers this many bases ending at cursor
+        if chain.n_anchors == 1:
+            parts.append(('cig', np.array([k], dtype=np.int32),
+                          np.array([cg.EQ], dtype=np.int8)))
+        else:
+            dq = np.diff(qpos)
+            dr = np.diff(rpos)
+            boundary = ~((dq == dr) & (dq <= k))
+            b_idx = np.nonzero(boundary)[0]  # anchor-gap index a-1 -> pair (a-1, a)
 
-        def close_run(cut=0):
-            eff = run_len - cut
-            if eff > 0:
-                parts.append(('cig',
-                              np.array([eff], dtype=np.int32),
-                              np.array([cg.EQ], dtype=np.int8)))
-
-        for a in range(1, chain.n_anchors):
-            q0, r0 = int(qpos[a - 1]), int(rpos[a - 1])
-            q1, r1 = int(qpos[a]), int(rpos[a])
-            dq, dr = q1 - q0, r1 - r0
-            if dq == dr and dq <= k:
-                run_len += dq
-                continue
-            cut = max(0, k - dq, k - dr)
-            close_run(cut)
-            seg_q0 = q0 + k - cut
-            seg_r0 = r0 + k - cut
-            self._add_segment(oriented[seg_q0:q1], ref[seg_r0:r1], parts, segments)
-            run_len = k
-
-        close_run(0)
+            seg_start = 0  # anchor index where the current exact run started
+            for bi in b_idx:
+                q0, r0 = int(qpos[bi]), int(rpos[bi])
+                q1, r1 = int(qpos[bi + 1]), int(rpos[bi + 1])
+                cut = max(0, k - (q1 - q0), k - (r1 - r0))
+                run_len = k + (q0 - int(qpos[seg_start])) - cut
+                if run_len > 0:
+                    parts.append(('cig', np.array([run_len], dtype=np.int32),
+                                  np.array([cg.EQ], dtype=np.int8)))
+                seg_q0 = q0 + k - cut
+                seg_r0 = r0 + k - cut
+                self._add_segment(oriented[seg_q0:q1], ref[seg_r0:r1], parts, segments)
+                seg_start = bi + 1
+            run_len = k + (int(qpos[-1]) - int(qpos[seg_start]))
+            parts.append(('cig', np.array([run_len], dtype=np.int32),
+                          np.array([cg.EQ], dtype=np.int8)))
 
         return {
             'qry_name': qry_name, 'qlen': qlen, 'is_rev': chain.is_rev,

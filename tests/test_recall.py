@@ -1,0 +1,80 @@
+"""Quantified recall/precision against planted truth at bench-like densities."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pav_tpu import eval as ev
+from pav_tpu.io.fasta import SeqStore
+from pav_tpu.pipeline import Pipeline
+
+
+def truth_to_df(truth, chrom='chr1'):
+    rows = []
+    for t in truth:
+        if t['type'] == 'SNV':
+            rows.append((chrom, t['pos'], t['pos'] + 1, 'SNV', 1,
+                         t['ref'], t['alt']))
+        elif t['type'] == 'INS':
+            rows.append((chrom, t['pos'], t['pos'] + 1, 'INS', t['len'], 'N', 'N'))
+        elif t['type'] == 'DEL':
+            rows.append((chrom, t['pos'], t['pos'] + t['len'], 'DEL', t['len'], 'N', 'N'))
+        elif t['type'] == 'INV':
+            rows.append((chrom, t['pos'], t['pos'] + t['len'], 'INV', t['len'], 'N', 'N'))
+    df = pd.DataFrame(rows, columns=['#CHROM', 'POS', 'END', 'SVTYPE', 'SVLEN',
+                                     'REF', 'ALT'])
+    df['ID'] = [f'truth{i}' for i in range(df.shape[0])]
+    df['FILTER'] = 'PASS'
+    df['GT'] = '1'
+    return df
+
+
+def calls_to_df(merged):
+    frames = []
+    for (varsvtype, tier), df in merged.items():
+        if tier != 'pass' or df.shape[0] == 0:
+            continue
+        sub = df[['#CHROM', 'POS', 'END', 'ID', 'SVTYPE', 'SVLEN']].copy()
+        if 'REF' in df.columns:
+            sub['REF'] = df['REF']
+            sub['ALT'] = df['ALT']
+        else:
+            sub['REF'] = 'N'
+            sub['ALT'] = 'N'
+        sub['FILTER'] = 'PASS'
+        frames.append(sub)
+    return pd.concat(frames, axis=0).reset_index(drop=True)
+
+
+@pytest.mark.slow
+def test_bench_genome_recall():
+    import bench
+
+    ref, h1, h2, t1, t2 = bench.build_genome(2_000_000, 31)
+    pipeline = Pipeline(SeqStore({'chr1': ref}), {'aligner_min_chain_score': 1000},
+                        log=open(os.devnull, 'w'))
+    result = pipeline.run_sample(
+        'r', {'h1': SeqStore({'c1': h1}), 'h2': SeqStore({'c2': h2})},
+        write_vcf=False)
+
+    truth = truth_to_df(t1 + t2)
+    truth = truth.drop_duplicates(subset=['POS', 'SVTYPE', 'SVLEN', 'ALT'])
+    calls = calls_to_df(result['merged'])
+
+    rep = ev.concordance(truth, calls).set_index('SVTYPE')
+    # SNV recall and precision essentially complete.
+    assert rep.loc['SNV', 'RECALL'] >= 0.98, rep
+    assert rep.loc['SNV', 'PRECISION'] >= 0.95, rep
+    # Indel/SV recall high (left-shift offsets and clustered events tolerated).
+    assert rep.loc['INS', 'RECALL'] >= 0.92, rep
+    assert rep.loc['DEL', 'RECALL'] >= 0.92, rep
+    assert rep.loc['INS', 'PRECISION'] >= 0.85, rep
+    assert rep.loc['DEL', 'PRECISION'] >= 0.85, rep
+    # The planted multi-kb inversion is recovered.
+    assert rep.loc['INV', 'N_TRUTH'] >= 1
+    assert rep.loc['INV', 'RECALL'] == 1.0, rep

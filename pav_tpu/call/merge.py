@@ -285,7 +285,10 @@ def _self_support_arr(name, arr, ri):
 
 
 def _match_arrays(lead_arr, lri, cand_arr, cri, strat):
-    """Array-backed pair matching; see _match_pair for semantics."""
+    """Pair matching under the strategy stages.
+
+    :return: (ro, offset, szro, offsz, match_identity) or None when unmatched.
+    """
     if lead_arr['svtype'][lri] != cand_arr['svtype'][cri]:
         return None
 
@@ -359,75 +362,3 @@ def _fmt(v):
 
 def _self_support(name, row):
     return (name, row['ID'], 1.0, 0, 1.0, 0.0, 1.0)
-
-
-def _match_pair(lead, cand, strat):
-    """Test whether cand matches lead under the strategy.
-
-    :return: (ro, offset, szro, offsz, match_identity) or None.
-    """
-    if lead.get('SVTYPE', None) != cand.get('SVTYPE', None):
-        return None
-
-    if strat.engine == 'nrsnv':
-        if lead['POS'] != cand['POS'] or lead['#CHROM'] != cand['#CHROM']:
-            return None
-        if str(lead.get('REF', '')).upper() != str(cand.get('REF', '')).upper():
-            return None
-        if str(lead.get('ALT', '')).upper() != str(cand.get('ALT', '')).upper():
-            return None
-        return (1.0, 0, 1.0, 0.0, 1.0)
-
-    svlen_l = int(lead.get('SVLEN', lead['END'] - lead['POS']))
-    svlen_c = int(cand.get('SVLEN', cand['END'] - cand['POS']))
-    if svlen_l <= 0 or svlen_c <= 0:
-        return None
-
-    is_ins = lead.get('SVTYPE', '') == 'INS'
-    pos_l, end_l = int(lead['POS']), int(lead['END'])
-    pos_c, end_c = int(cand['POS']), int(cand['END'])
-    if is_ins:
-        end_l = pos_l + svlen_l
-        end_c = pos_c + svlen_c
-
-    inter = max(0, min(end_l, end_c) - max(pos_l, pos_c))
-    union_span = max(end_l - pos_l, end_c - pos_c)
-    ro = inter / union_span if union_span else 0.0
-
-    offset = min(abs(pos_l - pos_c), abs(end_l - end_c))
-    szro = min(svlen_l, svlen_c) / max(svlen_l, svlen_c)
-    offsz = offset / min(svlen_l, svlen_c)
-
-    matched = False
-    for stage, params in strat.stages:
-        if stage == 'ro':
-            if ro >= params[0]:
-                matched = True
-                break
-        elif stage == 'szro':
-            p, dist, prop = (list(params) + [None, None])[:3]
-            limit = dist if dist is not None else np.inf
-            if prop is not None:
-                limit = min(limit, prop * min(svlen_l, svlen_c))
-            if szro >= p and offset <= limit:
-                matched = True
-                break
-        elif stage == 'exact':
-            if pos_l == pos_c and end_l == end_c:
-                matched = True
-                break
-    if not matched:
-        return None
-
-    match_val = np.nan
-    if strat.match_seq:
-        seq_l = str(lead.get('SEQ', '') or '')
-        seq_c = str(cand.get('SEQ', '') or '')
-        if seq_l and seq_c:
-            match_val = _seq_identity(seq_l.upper(), seq_c.upper())
-            if match_val < MATCH_IDENTITY:
-                return None
-        else:
-            match_val = np.nan  # no sequence available (e.g. INV without SEQ)
-
-    return (ro, offset, szro, offsz, match_val)

@@ -125,6 +125,22 @@ def test_e2e_vcf_output(diploid_run):
     # INV uses symbolic ALT.
     assert any(p.split('\t')[4] == '<INV>' for p in body)
 
+    # REF columns must match the reference sequence exactly, and indel REF/ALT
+    # follow the anchor-base convention (VCF spec + reference vcf.py:225-243).
+    for parts in (l.split('\t') for l in body):
+        pos1, vref, valt, info = int(parts[1]), parts[3], parts[4], parts[7]
+        if valt.startswith('<'):
+            continue
+        want = seqcodec.decode(ref[pos1 - 1: pos1 - 1 + len(vref)])
+        assert vref == want, f'REF mismatch at {pos1}: {vref} != {want}'
+        svtype = dict(kv.split('=', 1) for kv in info.split(';') if '=' in kv)['SVTYPE']
+        if svtype == 'INS':
+            assert len(valt) > len(vref) == 1 and valt[0] == vref
+        elif svtype == 'DEL':
+            assert len(vref) > len(valt) == 1 and vref[0] == valt
+        elif svtype == 'SNV':
+            assert len(vref) == len(valt) == 1 and vref != valt
+
 
 def test_e2e_artifacts_written(diploid_run, ):
     ref, m1, m2, result = diploid_run

@@ -13,6 +13,8 @@ def enable_compile_cache(cache_dir=None):
     cache_dir = cache_dir or os.environ.get(
         'PAV_TPU_COMPILE_CACHE', '/tmp/jax_cache_pav_tpu')
     try:
+        # Key the cache by backend so CPU/TPU executables never cross-load.
+        cache_dir = f'{cache_dir}_{jax.default_backend()}'
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     except Exception:

@@ -23,6 +23,7 @@ Traceback byte layout (bit set ⇒):
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -200,31 +201,49 @@ def _unpack_codes(packed, ambig, L):
 
 
 @functools.partial(jax.jit, static_argnames=('max_m', 'max_n', 'width', 'match',
-                                             'mismatch', 'o1', 'o2', 'e1', 'e2'))
+                                             'mismatch', 'o1', 'o2', 'e1', 'e2',
+                                             'backend_kind'))
 def _align_and_trace_packed(qp, qa, rp, ra, m, n, max_m, max_n, width,
-                            match, mismatch, o1, o2, e1, e2):
+                            match, mismatch, o1, o2, e1, e2, backend_kind='xla'):
     """Packed-input wrapper: unpack 2-bit sequence + ambiguity bitmaps on
     device, then run DP + traceback."""
     q = _unpack_codes(qp, qa, max_m)
     r = _unpack_codes(rp, ra, max_n)
     return _align_and_trace_impl(q, r, m, n, max_m, width,
-                                 match, mismatch, o1, o2, e1, e2)
+                                 match, mismatch, o1, o2, e1, e2, backend_kind)
 
 
 @functools.partial(jax.jit, static_argnames=('max_m', 'width', 'match', 'mismatch',
-                                             'o1', 'o2', 'e1', 'e2'))
-def _align_and_trace(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
+                                             'o1', 'o2', 'e1', 'e2', 'backend_kind'))
+def _align_and_trace(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
+                     backend_kind='xla'):
     return _align_and_trace_impl(q, r, m, n, max_m, width,
-                                 match, mismatch, o1, o2, e1, e2)
+                                 match, mismatch, o1, o2, e1, e2, backend_kind)
 
 
-def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
+def _pallas_backend_kind():
+    """Select the DP backend for full-width classes: 'pallas' (compiled),
+    'pallas-interp' (CPU interpreter, tests), or 'xla'. Opt-in via
+    PAV_TPU_PALLAS=1."""
+    if os.environ.get('PAV_TPU_PALLAS') != '1':
+        return 'xla'
+    return 'pallas-interp' if jax.default_backend() == 'cpu' else 'pallas'
+
+
+def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
+                          backend_kind='xla'):
     """Banded DP + device-side traceback. Only the compact step tape leaves the
     device: [B, L] uint8 (L = 2*max_m + max_n bound), reversed order, plus a
     band-exit error flag per element. The [B, max_m, width] traceback tensor
     never crosses the host boundary (critical on bandwidth-limited links)."""
-    _, tb, offs = _align_batch(q, r, m, n, max_m, width,
-                               match, mismatch, o1, o2, e1, e2)
+    if backend_kind.startswith('pallas') and width == r.shape[1] + 1:
+        from . import pallas_dp
+        tb, offs = pallas_dp.pallas_align_full(
+            q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
+            interpret=backend_kind == 'pallas-interp')
+    else:
+        _, tb, offs = _align_batch(q, r, m, n, max_m, width,
+                                   match, mismatch, o1, o2, e1, e2)
 
     L = ((max_m + r.shape[1] + 3) // 4) * 4  # multiple of 4 for 2-bit packing
 
@@ -387,7 +406,8 @@ class BandedAligner:
                 max_m, max_n, int(width),
                 int(sc['match']), int(sc['mismatch']),
                 int(sc['gap_open'][0]), int(sc['gap_open'][1]),
-                int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
+                int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
+                backend_kind=_pallas_backend_kind())
         else:
             packed, path_len, err = _align_and_trace(
                 self._put(qpad), self._put(rpad),
@@ -395,7 +415,8 @@ class BandedAligner:
                 max_m, int(width),
                 int(sc['match']), int(sc['mismatch']),
                 int(sc['gap_open'][0]), int(sc['gap_open'][1]),
-                int(sc['gap_ext'][0]), int(sc['gap_ext'][1]))
+                int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
+                backend_kind=_pallas_backend_kind())
 
         def resolve():
             pk = np.asarray(packed[:B])

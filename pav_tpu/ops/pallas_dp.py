@@ -11,8 +11,10 @@ Semantics are identical to ops.affine_dp._align_batch for offset-0 problems:
 same traceback byte layout, same F prefix-max formulation (log2(width)
 doubling of static shifts).
 
-Enable with PAV_TPU_PALLAS=1 (opt-in; the test suite validates bit-identity in
-interpreter mode).
+Enable with PAV_TPU_PALLAS=1. Opt-in status: bit-identical to the XLA kernel
+in interpreter-mode tests (tests/test_pallas_dp.py); the image's tunneled
+remote-compile service currently 500s on Mosaic lowering without surfacing
+diagnostics, so on-hardware validation is deferred (docs/ROADMAP.md).
 """
 
 import functools
@@ -26,7 +28,10 @@ NEG = -(1 << 29)  # plain int: pallas kernels cannot capture array constants
 
 def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
                *, max_m, width, match, mismatch, o1, o2, e1, e2):
-    B = q_ref.shape[0]
+    # Layouts: q [max_m, 1, B] (rows lead so the per-row dynamic index hits an
+    # untiled dimension; 2D refs tile both dims), r [B, max_n],
+    # tb out [max_m, B, width].
+    B = r_ref.shape[0]
     ni = n_ref[:].reshape(B, 1)                       # [B, 1]
     mi = m_ref[:].reshape(B, 1)
     j = jax.lax.broadcasted_iota(jnp.int32, (B, width), 1)
@@ -37,11 +42,11 @@ def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
     e0 = jnp.full((B, width), NEG, dtype=jnp.int32)
 
     r_all = r_ref[:]                                  # [B, max_n] int8
-    max_n = r_all.shape[1]
-    rb = jnp.where((j >= 1) & (j <= ni),
-                   jnp.take_along_axis(
-                       r_all, jnp.clip(j - 1, 0, max_n - 1), axis=1),
-                   jnp.int8(4))
+    # Full-width window: column w compares reference base w-1 — a static
+    # one-column shift, no gather (width == max_n + 1).
+    rb = jnp.concatenate(
+        [jnp.full((B, 1), 4, dtype=jnp.int8), r_all], axis=1)[:, :width]
+    rb = jnp.where((j >= 1) & (j <= ni), rb, jnp.int8(4))
 
     def shift_right(a, k):
         rolled = jnp.roll(a, k, axis=1)
@@ -64,7 +69,7 @@ def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
         e_best = jnp.maximum(e1_new, e2_new)
         bit_e_piece2 = e2_new > e1_new
 
-        qb = q_ref[:, pl.ds(i - 1, 1)]                # [B, 1] int8
+        qb = q_ref[i - 1, 0, :].reshape(B, 1)         # [B, 1] int8
         subst = jnp.where((qb == rb) & (qb < 4) & (rb < 4), match, mismatch)
         diag = shift_right(h_prev, 1) + subst
         diag = jnp.where(j >= 1, diag, NEG)
@@ -104,7 +109,7 @@ def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
               | (bit_e2_ext.astype(jnp.uint8) << 5)
               | (bit_f1_open.astype(jnp.uint8) << 6)
               | (bit_f2_open.astype(jnp.uint8) << 7))
-        tb_ref[:, i - 1, :] = tb
+        tb_ref[i - 1, :, :] = tb
 
         return (h_new, e1_new, e2_new)
 
@@ -127,9 +132,9 @@ def pallas_align_full(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
 
     tb = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, max_m, width), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((max_m, B, width), jnp.uint8),
         interpret=interpret,
-    )(q, r, m, n)
+    )(q.T.reshape(q.shape[1], 1, B), r, m, n)
 
     offs = jnp.zeros((B, max_m), dtype=jnp.int32)
-    return tb, offs
+    return jnp.transpose(tb, (1, 0, 2)), offs

@@ -98,12 +98,11 @@ class Aligner:
         (trim-none tier; CALL_BATCH/TRIM fields added by finalize_align_table)."""
         min_score = self.min_chain_score if min_chain_score is None else min_chain_score
 
-        chain_meta = []
-        segments = []
-
-        for qry_name in qry_store.names():
+        def plan_contig(qry_name):
+            """Seed/chain/select/plan one contig into its own segment list."""
             codes = qry_store.get(qry_name)
             qlen = len(codes)
+            segments = []
             chains = find_chains(
                 codes, self.index, max_occ=self.max_occ,
                 max_dist=self.chain_max_dist, max_gap_diff=self.chain_max_gap,
@@ -118,7 +117,7 @@ class Aligner:
 
             # Pass 1: primary selection by original-frame query-span overlap.
             accepted, spans = self._select(chains, qlen, [])
-            metas1 = [
+            metas = [
                 self._plan_chain(c, qry_name, qlen, oriented(c.is_rev), segments)
                 for c in accepted
             ]
@@ -126,15 +125,37 @@ class Aligner:
             # Coverage excluding break segments; pass 2 fills the gaps
             # (e.g. the inverted core of a bridged inversion).
             covered = []
-            for meta in metas1:
+            for meta in metas:
                 covered.extend(self._covered_spans(meta, segments, qlen))
             remaining = [c for c in chains if c not in accepted]
             accepted2, _ = self._select(remaining, qlen, covered)
             for c in accepted2:
-                metas1.append(self._plan_chain(
+                metas.append(self._plan_chain(
                     c, qry_name, qlen, oriented(c.is_rev), segments))
+            return metas, segments
 
-            chain_meta.extend(metas1)
+        names = qry_store.names()
+        if len(names) > 1:
+            # Contigs are independent until DP batching; the hot pieces
+            # (native sketch/chain, numpy) release the GIL.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
+                results = list(pool.map(plan_contig, names))
+        else:
+            results = [plan_contig(n) for n in names]
+
+        # Merge per-contig segment lists, rebasing part references.
+        chain_meta = []
+        segments = []
+        for metas, segs in results:
+            base = len(segments)
+            for meta in metas:
+                meta['parts'] = [
+                    (p[0], p[1] + base) if p[0] == 'seg' else p
+                    for p in meta['parts']
+                ]
+                chain_meta.append(meta)
+            segments.extend(segs)
 
         self._run_segments(segments)
         return self._emit_table(chain_meta, segments, hap)

@@ -218,7 +218,7 @@ class Aligner:
         q_cur = meta['q_start']
         for part in meta['parts']:
             if part[0] == 'cig':
-                adv_q = int(np.sum(part[1] * cg.CONSUMES_QRY[part[2]]))
+                adv_q = sum(l for l, o in part[1] if cg.CONSUMES_QRY[o])
                 spans.append((q_cur, q_cur + adv_q))
                 q_cur += adv_q
             else:
@@ -251,8 +251,7 @@ class Aligner:
         parts = []
 
         if chain.n_anchors == 1:
-            parts.append(('cig', np.array([k], dtype=np.int32),
-                          np.array([cg.EQ], dtype=np.int8)))
+            parts.append(('cig', [[k, cg.EQ]]))
         else:
             dq = np.diff(qpos)
             dr = np.diff(rpos)
@@ -266,15 +265,13 @@ class Aligner:
                 cut = max(0, k - (q1 - q0), k - (r1 - r0))
                 run_len = k + (q0 - int(qpos[seg_start])) - cut
                 if run_len > 0:
-                    parts.append(('cig', np.array([run_len], dtype=np.int32),
-                                  np.array([cg.EQ], dtype=np.int8)))
+                    parts.append(('cig', [[run_len, cg.EQ]]))
                 seg_q0 = q0 + k - cut
                 seg_r0 = r0 + k - cut
                 self._add_segment(oriented[seg_q0:q1], ref[seg_r0:r1], parts, segments)
                 seg_start = bi + 1
             run_len = k + (int(qpos[-1]) - int(qpos[seg_start]))
-            parts.append(('cig', np.array([run_len], dtype=np.int32),
-                          np.array([cg.EQ], dtype=np.int8)))
+            parts.append(('cig', [[run_len, cg.EQ]]))
 
         return {
             'qry_name': qry_name, 'qlen': qlen, 'is_rev': chain.is_rev,
@@ -291,19 +288,16 @@ class Aligner:
         if lq == 0 and lr == 0:
             return
         if lq == 0:
-            parts.append(('cig', np.array([lr], dtype=np.int32),
-                          np.array([cg.D], dtype=np.int8)))
+            parts.append(('cig', [[lr, cg.D]]))
             return
         if lr == 0:
-            parts.append(('cig', np.array([lq], dtype=np.int32),
-                          np.array([cg.I], dtype=np.int8)))
+            parts.append(('cig', [[lq, cg.I]]))
             return
         if lq == lr:
             mism = (sq != sr) | (sq >= 4)
             frac = mism.mean()
             if frac <= max(2 / lq, _DIRECT_MISMATCH_FRAC):
-                lens, ops = _compare_run(sq, sr)
-                parts.append(('cig', lens, ops))
+                parts.append(('cig', _compare_runs_list(mism)))
                 return
             if lq >= _BREAK_MIN_LEN and frac >= _BREAK_MISMATCH_FRAC:
                 # Effectively unalignable (Z-drop analog): break the record here.
@@ -384,15 +378,13 @@ class Aligner:
                 cut = max(0, k2 - dq, k2 - dr)
                 eff = run_len - cut
                 if eff > 0:
-                    parts.append(('cig', np.array([eff], dtype=np.int32),
-                                  np.array([cg.EQ], dtype=np.int8)))
+                    parts.append(('cig', [[eff, cg.EQ]]))
                 sq0 = int(aq[i - 1]) + k2 - cut
                 sr0 = int(ar[i - 1]) + k2 - cut
                 self._add_segment(sq[sq0:q0], sr[sr0:r0], parts, segments, depth + 1)
                 run_len = k2
         if run_len > 0:
-            parts.append(('cig', np.array([run_len], dtype=np.int32),
-                          np.array([cg.EQ], dtype=np.int8)))
+            parts.append(('cig', [[run_len, cg.EQ]]))
         self._add_segment(sq[int(aq[-1]) + k2:], sr[int(ar[-1]) + k2:],
                           parts, segments, depth + 1)
         return True
@@ -478,15 +470,17 @@ class Aligner:
         r_cur = meta['r_start']
         rec_q0 = q_cur
         rec_r0 = r_cur
-        lens_list, ops_list = [], []
+        run_list = []  # [len, op] pairs accumulated for the open record
 
         records = []
 
         def close_record(q_end, r_end):
-            if not lens_list:
+            if not run_list:
                 return
-            lens = np.concatenate(lens_list)
-            ops = np.concatenate(ops_list)
+            lens = np.fromiter((l for l, _ in run_list), dtype=np.int32,
+                               count=len(run_list))
+            ops = np.fromiter((o for _, o in run_list), dtype=np.int8,
+                              count=len(run_list))
             lens, ops = cg.merge_adjacent(lens, ops)
             aligned_q = int(np.sum(lens * cg.CONSUMES_QRY[ops]))
             if aligned_q < _MIN_RECORD_ALIGNED:
@@ -539,11 +533,13 @@ class Aligner:
 
         for part in meta['parts']:
             if part[0] == 'cig':
-                lens, ops = part[1], part[2]
-                lens_list.append(lens)
-                ops_list.append(ops)
-                q_cur += int(np.sum(lens * cg.CONSUMES_QRY[ops]))
-                r_cur += int(np.sum(lens * cg.CONSUMES_REF[ops]))
+                runs = part[1]
+                run_list.extend(runs)
+                for l, o in runs:
+                    if cg.CONSUMES_QRY[o]:
+                        q_cur += l
+                    if cg.CONSUMES_REF[o]:
+                        r_cur += l
             else:
                 seg = segments[part[1]]
                 if seg.kind == 'break':
@@ -551,11 +547,10 @@ class Aligner:
                     q_cur += len(seg.q)
                     r_cur += len(seg.r)
                     rec_q0, rec_r0 = q_cur, r_cur
-                    lens_list, ops_list = [], []
+                    run_list = []
                 else:
                     lens, ops = seg.result
-                    lens_list.append(lens.astype(np.int32))
-                    ops_list.append(ops)
+                    run_list.extend([int(l), int(o)] for l, o in zip(lens, ops))
                     q_cur += len(seg.q)
                     r_cur += len(seg.r)
 
@@ -606,9 +601,21 @@ def _coalesce_spans(spans):
     return [(lo, hi) for lo, hi in out]
 
 
-def _compare_run(sq, sr):
-    """Equal-length direct comparison -> =/X run-length CIGAR."""
-    mism = ((sq != sr) | (sq >= 4)).astype(np.int8)
-    ops = np.where(mism == 1, cg.X, cg.EQ).astype(np.int8)
-    lens = np.ones(len(ops), dtype=np.int32)
-    return cg.merge_adjacent(lens, ops)
+def _compare_runs_list(mism):
+    """Equal-length direct comparison -> =/X run list from a mismatch mask
+    (plain Python run pairs; the per-record array conversion happens once in
+    _chain_records)."""
+    n = len(mism)
+    runs = []
+    prev = 0
+    for i in np.nonzero(mism)[0].tolist():
+        if i > prev:
+            runs.append([i - prev, cg.EQ])
+        if runs and runs[-1][1] == cg.X:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, cg.X])
+        prev = i + 1
+    if n > prev:
+        runs.append([n - prev, cg.EQ])
+    return runs

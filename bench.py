@@ -103,10 +103,10 @@ def ensure_healthy_backend():
     import subprocess
 
     force = os.environ.get('PAV_BENCH_FORCE_BACKEND')
-    if force == 'cpu':
-        _reexec_cpu()
     if force == 'tpu' or os.environ.get('PAV_BENCH_PROBED'):
         return
+    if force == 'cpu':
+        _reexec_cpu()
     import jax
     if jax.default_backend() == 'cpu':
         return
@@ -150,8 +150,17 @@ def main():
     from pav_tpu.pipeline import Pipeline
     from pav_tpu.runtime import enable_compile_cache, prime_kernels
 
+    from pav_tpu.runtime import retain_heap
+
     enable_compile_cache()
     prime_kernels()
+
+    # Pre-fault and retain the working set (untimed). This image's VM restores
+    # guest memory lazily; first-touch page faults can run at ~10 MB/s, which
+    # would otherwise dominate the timed section. retain_heap keeps the
+    # faulted pages in the process heap so every later allocation reuses them.
+    warm_bytes = int(float(os.environ.get('PAV_BENCH_PREFAULT_GB', 3)) * 1e9)
+    retain_heap(warm_bytes)
 
     ref_len = int(REF_MBP * 1e6)
     ref, h1, h2, t1, t2 = build_genome(ref_len, SEED)

@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cmath>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -54,6 +55,48 @@ void chain_dp(const int32_t* qpos, const int32_t* rpos, const int32_t* group,
             parent_out[i] = -1;
         }
     }
+}
+
+// Greedy chain extraction: walk parent links back from best-scoring tails.
+//
+// cand must be pre-sorted by descending cumulative score. Each path stops at
+// the first already-used anchor; its own score is f[tail] - f[anchor below the
+// cut] (branch shadows of a long chain must not inherit its full score).
+// Anchors of rejected (too short / too weak) paths stay marked used, matching
+// the host fallback. Paths are emitted ascending into out_idx, back to back;
+// out_start gets n_chains+1 offsets (last = total length).
+//
+// Returns the number of accepted chains. Caller buffers: out_idx of size n,
+// out_start/out_score of size n/min_anchors + 1.
+int64_t chain_extract(const float* scores, const int64_t* parents, int64_t n,
+                      const int64_t* cand, int64_t n_cand,
+                      float min_chain_score, int64_t min_anchors,
+                      int64_t* out_idx, int64_t* out_start, float* out_score) {
+    std::vector<uint8_t> used(static_cast<size_t>(n), 0);
+    int64_t n_chains = 0;
+    int64_t out_pos = 0;
+    for (int64_t c = 0; c < n_cand; ++c) {
+        const int64_t tail = cand[c];
+        if (used[tail]) continue;
+        const int64_t start = out_pos;
+        int64_t j = tail;
+        while (j >= 0 && !used[j]) {
+            out_idx[out_pos++] = j;
+            used[j] = 1;
+            j = parents[j];
+        }
+        const float own = scores[tail] - (j >= 0 ? scores[j] : 0.0f);
+        if (out_pos - start < min_anchors || own < min_chain_score) {
+            out_pos = start;
+            continue;
+        }
+        std::reverse(out_idx + start, out_idx + out_pos);
+        out_start[n_chains] = start;
+        out_score[n_chains] = own;
+        ++n_chains;
+    }
+    out_start[n_chains] = out_pos;
+    return n_chains;
 }
 
 }  // extern "C"

@@ -30,6 +30,11 @@ def main(argv=None):
                         help='Write a JAX profiler trace here')
     args = parser.parse_args(argv)
 
+    # Engine processes churn large short-lived buffers; keeping freed pages in
+    # the heap avoids munmap/refault cycles (critical on lazily-restored VMs).
+    from .runtime import retain_heap
+    retain_heap(0)
+
     overrides = {}
     if args.config:
         with open(args.config) as fh:

@@ -78,30 +78,51 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
 
     # Extract chains greedily from best-scoring tails. Only anchors that can
     # seed an acceptable chain are visited (most anchors score ~k).
-    used = np.zeros(n, dtype=bool)
-    chains = []
     cand = np.nonzero(scores >= min_chain_score)[0]
     cand = cand[np.argsort(-scores[cand], kind='stable')]
-    for i in cand:
-        if used[i]:
-            continue
-        path = []
-        j = int(i)
-        while j >= 0 and not used[j]:
-            path.append(j)
-            used[j] = True
-            j = int(parents[j])
-        if len(path) < min_anchors:
-            continue
-        # A path cut at an already-used anchor only contributes its own score
-        # (f is cumulative; without this, branch shadows of a long chain would
-        # inherit its full score and poison selection/MAPQ).
-        own_score = float(scores[i]) - (float(scores[j]) if j >= 0 else 0.0)
-        if own_score < min_chain_score:
-            continue
-        path.reverse()
-        idx = np.array(path)
-        chains.append(Chain(chrom[i], bool(rev[i]), qpos[idx], rpos[idx], own_score))
+    chains = []
+
+    from ... import native
+    res = native.chain_extract(scores, parents, cand, min_chain_score, min_anchors)
+    if res is not None:
+        idx_all, starts, own_scores = res
+        for t in range(len(own_scores)):
+            sl = idx_all[starts[t]:starts[t + 1]]
+            i = int(sl[-1])
+            chains.append(Chain(chrom[i], bool(rev[i]), qpos[sl], rpos[sl],
+                                own_scores[t]))
+    else:
+        used = np.zeros(n, dtype=bool)
+        ptr = 0
+        while ptr < len(cand):
+            i = int(cand[ptr])
+            ptr += 1
+            if used[i]:
+                continue
+            path = []
+            j = i
+            while j >= 0 and not used[j]:
+                path.append(j)
+                used[j] = True
+                j = int(parents[j])
+            if len(path) > 10000:
+                # A long extraction marks most remaining candidates used; drop
+                # them in one vectorized pass instead of skipping one by one.
+                rest = cand[ptr:]
+                cand = rest[~used[rest]]
+                ptr = 0
+            if len(path) < min_anchors:
+                continue
+            # A path cut at an already-used anchor only contributes its own
+            # score (f is cumulative; without this, branch shadows of a long
+            # chain would inherit its full score and poison selection/MAPQ).
+            own_score = float(scores[i]) - (float(scores[j]) if j >= 0 else 0.0)
+            if own_score < min_chain_score:
+                continue
+            path.reverse()
+            idx = np.array(path)
+            chains.append(Chain(chrom[i], bool(rev[i]), qpos[idx], rpos[idx],
+                                own_score))
 
     chains.sort(key=lambda c: -c.score)
     # Cap the candidate pool: selection touches top chains only; deep repeat

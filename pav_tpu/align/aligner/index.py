@@ -127,7 +127,11 @@ class MinimizerIndex:
             z = np.zeros(0, dtype=np.int64)
             return z, z.astype(np.int32), z, z.astype(np.int8)
 
-        slot = np.searchsorted(self.uniq_hashes, query_hashes)
+        # Binary-searching queries in sorted order keeps successive search
+        # paths in cache (~2x over random order at chromosome scale).
+        qorder = np.argsort(query_hashes, kind='stable')
+        slot = np.empty(len(query_hashes), dtype=np.int64)
+        slot[qorder] = np.searchsorted(self.uniq_hashes, query_hashes[qorder])
         slot_c = np.minimum(slot, len(self.uniq_hashes) - 1)
         found = self.uniq_hashes[slot_c] == query_hashes
         counts = np.where(found, self.uniq_counts[slot_c], 0)

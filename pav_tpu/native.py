@@ -55,6 +55,14 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.minimizer_sketch.restype = ctypes.c_int64
+            lib.chain_extract.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_float, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.chain_extract.restype = ctypes.c_int64
             _LIB = lib
         except Exception:
             _LIB = None
@@ -106,3 +114,37 @@ def minimizer_sketch(codes, k, w):
     )
     return (out_pos[:count].copy(), out_hash[:count].copy(),
             out_strand[:count].astype(np.int8))
+
+
+def chain_extract(scores, parents, cand, min_chain_score, min_anchors):
+    """Native greedy chain extraction from parent links.
+
+    :return: (idx, starts, own_scores) where idx holds all chains' anchor
+        indices back to back (ascending within each chain) and starts has
+        n_chains+1 offsets into it; or None when the native library is
+        unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(scores)
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    parents = np.ascontiguousarray(parents, dtype=np.int64)
+    cand = np.ascontiguousarray(cand, dtype=np.int64)
+    out_idx = np.empty(max(n, 1), dtype=np.int64)
+    n_max = n // max(int(min_anchors), 1) + 2
+    out_start = np.empty(n_max, dtype=np.int64)
+    out_score = np.empty(n_max, dtype=np.float32)
+    n_chains = lib.chain_extract(
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        parents.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        cand.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(cand)),
+        ctypes.c_float(float(min_chain_score)), ctypes.c_int64(int(min_anchors)),
+        out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return (out_idx[:out_start[n_chains]].copy(),
+            out_start[:n_chains + 1].copy(), out_score[:n_chains].copy())

@@ -5,6 +5,31 @@ import os
 import numpy as np
 
 
+def retain_heap(warm_bytes=0):
+    """Keep freed large allocations in the process heap instead of returning
+    them to the OS (glibc mallopt), optionally pre-faulting warm_bytes once.
+
+    On hosts with lazily-restored / ballooned VM memory, first-touch page
+    faults can run orders of magnitude below DRAM speed; retaining and
+    re-using faulted pages keeps steady-state allocation at memory speed.
+    No-op (returns False) on non-glibc platforms.
+    """
+    import ctypes
+    try:
+        libc = ctypes.CDLL('libc.so.6', use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD, M_MMAP_MAX = -1, -3, -4
+        ok = (libc.mallopt(M_MMAP_THRESHOLD, 2**31 - 1)
+              and libc.mallopt(M_MMAP_MAX, 0)
+              and libc.mallopt(M_TRIM_THRESHOLD, 2**31 - 1))
+    except Exception:
+        return False
+    if ok and warm_bytes > 0:
+        buf = np.empty(int(warm_bytes), dtype=np.uint8)
+        buf.fill(1)
+        del buf
+    return bool(ok)
+
+
 def enable_compile_cache(cache_dir=None):
     """Enable JAX's persistent compilation cache: kernel shape buckets compile
     once per machine, not once per process."""

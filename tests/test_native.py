@@ -1,0 +1,122 @@
+"""Native (C++) runtime components match their Python/numpy fallbacks exactly.
+
+The native library is the primary path for host-side irregular work
+(minimizer sketching, chain DP, chain extraction); these tests pin it
+bit-for-bit to the reference fallbacks so either path is interchangeable.
+"""
+
+import numpy as np
+import pytest
+
+from pav_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    native.get_lib() is None, reason='native toolchain unavailable')
+
+
+def _random_parent_forest(n, seed):
+    """A parent forest shaped like chain-DP output: mostly short back links."""
+    rng = np.random.default_rng(seed)
+    parents = np.full(n, -1, dtype=np.int64)
+    scores = np.full(n, 19.0, dtype=np.float32)
+    for i in range(1, n):
+        if rng.random() < 0.9:
+            parents[i] = i - rng.integers(1, min(i, 40) + 1)
+            scores[i] = scores[parents[i]] + rng.integers(1, 20)
+    return scores, parents
+
+
+def _py_extract(scores, parents, cand, min_chain_score, min_anchors):
+    used = np.zeros(len(scores), dtype=bool)
+    out = []
+    for i in cand:
+        i = int(i)
+        if used[i]:
+            continue
+        path = []
+        j = i
+        while j >= 0 and not used[j]:
+            path.append(j)
+            used[j] = True
+            j = int(parents[j])
+        if len(path) < min_anchors:
+            continue
+        own = float(scores[i]) - (float(scores[j]) if j >= 0 else 0.0)
+        if own < min_chain_score:
+            continue
+        path.reverse()
+        out.append((path, own))
+    return out
+
+
+@pytest.mark.parametrize('seed', [3, 11])
+def test_chain_extract_parity(seed):
+    scores, parents = _random_parent_forest(50000, seed)
+    cand = np.nonzero(scores >= 100)[0]
+    cand = cand[np.argsort(-scores[cand], kind='stable')]
+
+    res = native.chain_extract(scores, parents, cand, 100.0, 3)
+    assert res is not None
+    idx_all, starts, own = res
+    expected = _py_extract(scores, parents, cand, 100.0, 3)
+
+    assert len(expected) == len(own)
+    for t, (path, s) in enumerate(expected):
+        assert np.array_equal(idx_all[starts[t]:starts[t + 1]], np.array(path))
+        assert abs(s - own[t]) < 1e-3
+
+
+def test_chain_extract_empty():
+    scores = np.array([19.0, 19.0], dtype=np.float32)
+    parents = np.array([-1, -1], dtype=np.int64)
+    cand = np.zeros(0, dtype=np.int64)
+    idx_all, starts, own = native.chain_extract(scores, parents, cand, 100.0, 3)
+    assert len(own) == 0 and len(idx_all) == 0 and starts[0] == 0
+
+
+def test_minimizer_sketch_matches_numpy():
+    from pav_tpu.align.aligner import index as idx_mod
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, 20000).astype(np.uint8)
+    codes[5000:5007] = 4  # ambiguity run: windows touching it never win
+
+    n_pos, n_hash, n_strand = native.minimizer_sketch(codes, 19, 10)
+
+    # Force the numpy fallback by monkeypatching the native entry.
+    orig = native.minimizer_sketch
+    try:
+        native.minimizer_sketch = lambda *a, **k: None
+        p_pos, p_hash, p_strand = idx_mod.minimizers(codes, 19, 10)
+    finally:
+        native.minimizer_sketch = orig
+
+    assert np.array_equal(n_pos, p_pos)
+    assert np.array_equal(n_hash, p_hash)
+    assert np.array_equal(n_strand, p_strand)
+
+
+def test_chain_dp_matches_scan():
+    from pav_tpu.ops import chain_scan
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    qpos = np.sort(rng.integers(0, 100000, n)).astype(np.int64)
+    rpos = (qpos + rng.integers(-30, 30, n)).astype(np.int64)
+    group = np.zeros(n, dtype=np.int64)
+
+    f_n, p_n = native.chain_dp(qpos, rpos, group, 19, 64, 50000.0, 10000.0, 0.05)
+    # Force the jitted-scan fallback by hiding the native entry.
+    orig = native.chain_dp
+    try:
+        native.chain_dp = lambda *a, **k: None
+        f_j, p_j = chain_scan.chain_scores(
+            qpos, rpos, group, 19, lookback=64, max_dist=50000,
+            max_gap_diff=10000, gap_scale=0.05)
+    finally:
+        native.chain_dp = orig
+
+    np.testing.assert_allclose(f_n, np.asarray(f_j), rtol=1e-5, atol=1e-3)
+    # Parents may differ only where scores tie; require equal scores there.
+    diff = np.asarray(p_j) != p_n
+    assert np.allclose(f_n[diff], np.asarray(f_j)[diff], atol=1e-3)

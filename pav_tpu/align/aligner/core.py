@@ -35,6 +35,48 @@ _BREAK_MIN_LEN = 400        # segments at least this long can break an alignment
 _BREAK_MISMATCH_FRAC = 0.30  # pre-DP: equal-length segment mismatch fraction
 _BREAK_MIN_IDENTITY = 0.45   # post-DP: matched fraction of the longer side
 _MIN_RECORD_ALIGNED = 50     # drop split records with fewer aligned bases
+_MAX_EXTEND = 5000           # semi-global end extension cap per contig end
+
+
+def _trim_ext_runs(lens, ops, scoring, reversed_frame, lq, lr):
+    """Trim an end-extension's global-DP result to its best-scoring prefix.
+
+    The extension DP is anchored at the chain side (position 0 of the segment)
+    and global at the far side; cutting the run list at the maximum cumulative
+    score reproduces free-end (Z-drop style) extension. The unaligned
+    remainder is re-emitted as I/D runs at the outer side so record assembly
+    strips it into clips.
+
+    :return: [[len, op], ...] python run list in the oriented forward frame,
+        consuming exactly (lq, lr).
+    """
+    match = scoring['match']
+    mismatch = scoring['mismatch']
+    o1, o2 = scoring['gap_open']
+    e1, e2 = scoring['gap_ext']
+
+    gap = np.minimum(o1 + e1 * lens.astype(np.int64),
+                     o2 + e2 * lens.astype(np.int64))
+    per_run = np.where(
+        ops == cg.EQ, match * lens.astype(np.int64),
+        np.where(ops == cg.X, mismatch * lens.astype(np.int64), -gap))
+    cum = np.cumsum(per_run)
+    if len(cum) == 0 or cum.max() <= 0:
+        cut = 0
+    else:
+        cut = int(np.argmax(cum)) + 1
+
+    kept = [[int(l), int(o)] for l, o in zip(lens[:cut], ops[:cut])]
+    kept_q = int(np.sum(lens[:cut] * cg.CONSUMES_QRY[ops[:cut]])) if cut else 0
+    kept_r = int(np.sum(lens[:cut] * cg.CONSUMES_REF[ops[:cut]])) if cut else 0
+    rem = []
+    if lq - kept_q > 0:
+        rem.append([lq - kept_q, int(cg.I)])
+    if lr - kept_r > 0:
+        rem.append([lr - kept_r, int(cg.D)])
+    if reversed_frame:
+        return rem + kept[::-1]
+    return kept + rem
 
 
 def _bucket_pow2(x, lo=32, hi=1 << 15):
@@ -50,7 +92,9 @@ class _Segment:
     def __init__(self, q, r, kind='dp'):
         self.q = q
         self.r = r
-        self.kind = kind  # 'dp' | 'break'
+        # 'dp' | 'break' | 'ext_l' | 'ext_r' (end extensions; ext_l holds the
+        # sequences reversed so the anchored end sits at position 0).
+        self.kind = kind
         self.result = None
 
 
@@ -88,6 +132,7 @@ class Aligner:
             'gap_open': tuple(cfg.get('aligner_gap_open', (5, 56))),
             'gap_ext': tuple(cfg.get('aligner_gap_ext', (4, 1))),
         }
+        self.scoring = scoring
         self.dp = affine_dp.BandedAligner(scoring)
         self.index = MinimizerIndex(ref_store, k=self.k, w=self.w)
 
@@ -132,6 +177,13 @@ class Aligner:
             for c in accepted2:
                 metas.append(self._plan_chain(
                     c, qry_name, qlen, oriented(c.is_rev), segments))
+
+            # Semi-global end extension: chains stop at their terminal anchors,
+            # leaving anchor-free contig tails (e.g. SNV-dense divergence)
+            # unaligned. Extend the outermost chain toward each contig end
+            # (reference aligners extend with Z-drop: minimap2 -z; the
+            # best-prefix trim in _chain_records is the analog).
+            self._plan_end_extensions(metas, segments, qlen, oriented)
             return metas, segments
 
         names = qry_store.names()
@@ -234,6 +286,90 @@ class Aligner:
                 lo, hi = qlen - hi, qlen - lo
             out.append((lo, hi))
         return _coalesce_spans(out)
+
+    # ------------------------------------------------------------ extension
+
+    @staticmethod
+    def _part_advances(meta, segments):
+        """Total (query, ref) bases consumed by a chain's parts."""
+        q_adv = r_adv = 0
+        for part in meta['parts']:
+            if part[0] == 'cig':
+                for l, o in part[1]:
+                    if cg.CONSUMES_QRY[o]:
+                        q_adv += l
+                    if cg.CONSUMES_REF[o]:
+                        r_adv += l
+            else:
+                seg = segments[part[1]]
+                q_adv += len(seg.q)
+                r_adv += len(seg.r)
+        return q_adv, r_adv
+
+    def _plan_end_extensions(self, metas, segments, qlen, oriented):
+        """Register extension DP segments for the contig tails outside all
+        selected chains' coverage (bounded by _MAX_EXTEND per end)."""
+        if not metas:
+            return
+        # Original-frame outermost coverage over all chains of this contig.
+        lo_min, lo_meta = qlen, None
+        hi_max, hi_meta = 0, None
+        for meta in metas:
+            spans = self._covered_spans(meta, segments, qlen)
+            if not spans:
+                continue
+            lo = min(s for s, _ in spans)
+            hi = max(e for _, e in spans)
+            if lo < lo_min:
+                lo_min, lo_meta = lo, meta
+            if hi > hi_max:
+                hi_max, hi_meta = hi, meta
+        if lo_meta is not None and 0 < lo_min:
+            self._plan_one_extension(
+                lo_meta, segments, qlen, oriented, 'start',
+                min(lo_min, _MAX_EXTEND))
+        if hi_meta is not None and hi_max < qlen:
+            self._plan_one_extension(
+                hi_meta, segments, qlen, oriented, 'end',
+                min(qlen - hi_max, _MAX_EXTEND))
+
+    def _plan_one_extension(self, meta, segments, qlen, oriented, orig_end, e):
+        """Extend one chain by e query bases toward a contig end (original
+        frame); the DP result is trimmed to its best-scoring prefix when the
+        record is materialized."""
+        if e <= 0:
+            return
+        is_rev = meta['is_rev']
+        codes = oriented(is_rev)
+        ref = self.ref_store.get(meta['chrom'])
+        # Original-frame contig start maps to the oriented-frame left end for
+        # forward chains and the right end for reverse chains.
+        left = (orig_end == 'start') != is_rev
+        slack = min(e // 8 + 32, 512)
+        if left:
+            q_start, r_start = meta['q_start'], meta['r_start']
+            e = min(e, q_start)
+            w0 = min(e + slack, r_start)
+            if e <= 0 or w0 <= 0:
+                return
+            seg = _Segment(codes[q_start - e:q_start][::-1].copy(),
+                           ref[r_start - w0:r_start][::-1].copy(), 'ext_l')
+            segments.append(seg)
+            meta['q_start'] = q_start - e
+            meta['r_start'] = r_start - w0
+            meta['parts'].insert(0, ('seg', len(segments) - 1))
+        else:
+            q_adv, r_adv = self._part_advances(meta, segments)
+            q_end = meta['q_start'] + q_adv
+            r_end = meta['r_start'] + r_adv
+            e = min(e, qlen - q_end)
+            w0 = min(e + slack, len(ref) - r_end)
+            if e <= 0 or w0 <= 0:
+                return
+            seg = _Segment(codes[q_end:q_end + e].copy(),
+                           ref[r_end:r_end + w0].copy(), 'ext_r')
+            segments.append(seg)
+            meta['parts'].append(('seg', len(segments) - 1))
 
     # ------------------------------------------------------------- chain plan
 
@@ -434,8 +570,10 @@ class Aligner:
                 segments[i].result = res
 
         # Post-DP break detection: long segments that still aligned terribly.
+        # Extension segments are exempt — their best-prefix trim already drops
+        # whatever failed to align.
         for seg in segments:
-            if seg.kind == 'break' or seg.result is None:
+            if seg.kind != 'dp' or seg.result is None:
                 continue
             # Only balanced segments can break: an unbalanced segment is a clean
             # large indel and must stay inline (reference aligners inline these
@@ -548,6 +686,13 @@ class Aligner:
                     r_cur += len(seg.r)
                     rec_q0, rec_r0 = q_cur, r_cur
                     run_list = []
+                elif seg.kind in ('ext_l', 'ext_r'):
+                    lens, ops = seg.result
+                    run_list.extend(_trim_ext_runs(
+                        lens, ops, self.scoring, seg.kind == 'ext_l',
+                        len(seg.q), len(seg.r)))
+                    q_cur += len(seg.q)
+                    r_cur += len(seg.r)
                 else:
                     lens, ops = seg.result
                     run_list.extend([int(l), int(o)] for l, o in zip(lens, ops))

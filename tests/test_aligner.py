@@ -141,3 +141,60 @@ def test_align_two_contigs_batched():
     assert set(df['QRY_ID']) == {'a', 'b'}
     fin = finalize_align_table(df)
     assert 'CALL_BATCH' in fin.columns and 'TRIM_REF_L' in fin.columns
+
+
+def test_end_extension_divergent_tails():
+    """SNV-dense contig tails have no minimizer anchors (every k-mer hits a
+    mismatch) but must still be aligned via semi-global end extension."""
+    rng = np.random.default_rng(31)
+    ref = random_seq(60000, rng)
+    contig = ref[10000:40000].copy()
+    # ~6.7% divergence over the first and last 400 bp: no exact 19-mers.
+    for i in range(5, 400, 15):
+        contig[i] = (contig[i] + 1 + rng.integers(3)) % 4
+        j = len(contig) - 1 - i
+        contig[j] = (contig[j] + 1 + rng.integers(3)) % 4
+
+    df, ref_store, qry_store = _run_aligner(ref, {'tig1': contig})
+    assert df.shape[0] == 1
+    row = df.iloc[0]
+    # Tails aligned: clips (if any) are much smaller than the divergent region.
+    assert row['QRY_POS'] < 40
+    assert row['QRY_END'] > len(contig) - 40
+    assert abs(row['POS'] - 10000) < 40
+    assert abs(row['END'] - 40000) < 40
+
+    # The tail SNVs are recoverable through the CIGAR caller.
+    lens, ops = cg.parse(row['CIGAR'])
+    assert int(lens[ops == cg.X].sum()) >= 40
+
+
+def test_end_extension_reverse_strand():
+    rng = np.random.default_rng(32)
+    ref = random_seq(50000, rng)
+    contig = seqcodec.revcomp(ref[10000:30000])
+    for i in range(5, 300, 15):
+        contig[i] = (contig[i] + 1 + rng.integers(3)) % 4
+
+    df, *_ = _run_aligner(ref, {'tig1': contig})
+    assert df.shape[0] == 1
+    row = df.iloc[0]
+    assert row['REV']
+    assert row['QRY_POS'] < 30
+    assert abs(row['END'] - 30000) < 30
+
+
+def test_end_extension_rejects_foreign_tail():
+    """A tail that is not homologous to the flanking reference must stay
+    clipped (the best-prefix trim drops a non-aligning extension)."""
+    rng = np.random.default_rng(33)
+    ref = random_seq(50000, rng)
+    foreign = random_seq(300, rng)
+    contig = np.concatenate([foreign, ref[10000:30000]])
+
+    df, *_ = _run_aligner(ref, {'tig1': contig})
+    assert df.shape[0] == 1
+    row = df.iloc[0]
+    # The foreign prefix remains (mostly) clipped.
+    assert row['QRY_POS'] > 250
+    assert abs(row['POS'] - 10000) < 60

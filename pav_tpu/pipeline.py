@@ -249,10 +249,14 @@ class Pipeline:
         id_set = set()
         rows = []
         flags = res.df_flag.loc[res.df_flag['TRY_INV']] if res.df_flag.shape[0] else res.df_flag
-        for _, row in flags.iterrows():
+        flag_rows = [row for _, row in flags.iterrows()]
+
+        def scan_one(row):
+            """Scan one flagged region (regions are independent; device KDE
+            dispatches overlap other regions' host work)."""
             region_flag = Region(row['#CHROM'], row['POS'], row['END'])
             try:
-                inv_call = inv_mod.scan_for_inv(
+                return inv_mod.scan_for_inv(
                     region_flag, self.ref_store, qry_store, align_lift, k_util,
                     n_index=self.n_index,
                     max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
@@ -260,7 +264,18 @@ class Pipeline:
                     min_exp_count=int(cfg.get('inv_min_expand_count', 1)))
             except RuntimeError as ex:
                 log_buf.write(f'RuntimeError in scan_for_inv(): {ex}\n')
-                inv_call = None
+                return None
+
+        if len(flag_rows) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(flag_rows))) as pool:
+                inv_calls = list(pool.map(scan_one, flag_rows))
+        else:
+            inv_calls = [scan_one(r) for r in flag_rows]
+
+        # Dedup and row assembly stay sequential in flag order so IDs and
+        # artifact ordering are deterministic regardless of thread timing.
+        for row, inv_call in zip(flag_rows, inv_calls):
             if inv_call is None or inv_call.id in id_set:
                 continue
             seq = qry_store.fetch_region(inv_call.region_tig_outer)

@@ -1,0 +1,75 @@
+// Native minimizer-index lookup: open-addressing hash table over the unique
+// minimizer hashes, replacing a 25-deep random-access binary search per query
+// (the dominant host cost of anchor collection at chromosome scale).
+//
+// The table stores an int64 row index into the index's unique-hash arrays;
+// empty slots hold EMPTY. Keys are already avalanched (splitmix-style
+// finalizer in the sketcher), so the low bits index directly.
+
+#include <cstdint>
+
+namespace {
+constexpr uint64_t kEmpty = 0xFFFFFFFFFFFFFFFFull;  // never a minimizer hash
+}
+
+extern "C" {
+
+// Build the probe table. table_keys/table_vals have size 1 << log2_size and
+// must be pre-filled with kEmpty / -1 by the caller.
+void index_build(const uint64_t* uniq_hashes, int64_t n_uniq,
+                 uint64_t* table_keys, int64_t* table_vals, int32_t log2_size) {
+    const uint64_t mask = (1ull << log2_size) - 1;
+    for (int64_t i = 0; i < n_uniq; ++i) {
+        uint64_t slot = uniq_hashes[i] & mask;
+        while (table_keys[slot] != kEmpty) slot = (slot + 1) & mask;
+        table_keys[slot] = uniq_hashes[i];
+        table_vals[slot] = i;
+    }
+}
+
+// Pass 1: per-query hit counts (0 when absent or count > max_occ).
+void index_count(const uint64_t* table_keys, const int64_t* table_vals,
+                 int32_t log2_size, const int64_t* uniq_counts,
+                 const uint64_t* qh, int64_t nq, int64_t max_occ,
+                 int64_t* out_counts) {
+    const uint64_t mask = (1ull << log2_size) - 1;
+    for (int64_t i = 0; i < nq; ++i) {
+        const uint64_t h = qh[i];
+        uint64_t slot = h & mask;
+        int64_t row = -1;
+        while (true) {
+            const uint64_t key = table_keys[slot];
+            if (key == h) { row = table_vals[slot]; break; }
+            if (key == kEmpty) break;
+            slot = (slot + 1) & mask;
+        }
+        int64_t c = row >= 0 ? uniq_counts[row] : 0;
+        out_counts[i] = c > max_occ ? 0 : c;
+    }
+}
+
+// Pass 2: fill hit rows. out_offsets = exclusive prefix sum of out_counts;
+// out_qidx/out_flat sized to the total. flat = index into the index's
+// hash-sorted chrom/pos/strand arrays.
+void index_fill(const uint64_t* table_keys, const int64_t* table_vals,
+                int32_t log2_size, const int64_t* uniq_starts,
+                const uint64_t* qh, int64_t nq,
+                const int64_t* out_counts, const int64_t* out_offsets,
+                int64_t* out_qidx, int64_t* out_flat) {
+    const uint64_t mask = (1ull << log2_size) - 1;
+    for (int64_t i = 0; i < nq; ++i) {
+        const int64_t c = out_counts[i];
+        if (c == 0) continue;
+        const uint64_t h = qh[i];
+        uint64_t slot = h & mask;
+        while (table_keys[slot] != h) slot = (slot + 1) & mask;
+        const int64_t start = uniq_starts[table_vals[slot]];
+        int64_t o = out_offsets[i];
+        for (int64_t j = 0; j < c; ++j) {
+            out_qidx[o + j] = i;
+            out_flat[o + j] = start + j;
+        }
+    }
+}
+
+}  // extern "C"

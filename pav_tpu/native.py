@@ -18,7 +18,8 @@ _TRIED = False
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRCS = [os.path.join(_REPO_ROOT, 'native', 'chain.cpp'),
-         os.path.join(_REPO_ROOT, 'native', 'minimizer.cpp')]
+         os.path.join(_REPO_ROOT, 'native', 'minimizer.cpp'),
+         os.path.join(_REPO_ROOT, 'native', 'lookup.cpp')]
 _BUILD_DIR = os.path.join(_REPO_ROOT, 'build')
 _SO_PATH = os.path.join(_BUILD_DIR, 'libpavnative.so')
 
@@ -63,6 +64,19 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float),
             ]
             lib.chain_extract.restype = ctypes.c_int64
+            _u64p = ctypes.POINTER(ctypes.c_uint64)
+            _i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.index_build.argtypes = [
+                _u64p, ctypes.c_int64, _u64p, _i64p, ctypes.c_int32]
+            lib.index_build.restype = None
+            lib.index_count.argtypes = [
+                _u64p, _i64p, ctypes.c_int32, _i64p, _u64p, ctypes.c_int64,
+                ctypes.c_int64, _i64p]
+            lib.index_count.restype = None
+            lib.index_fill.argtypes = [
+                _u64p, _i64p, ctypes.c_int32, _i64p, _u64p, ctypes.c_int64,
+                _i64p, _i64p, _i64p, _i64p]
+            lib.index_fill.restype = None
             _LIB = lib
         except Exception:
             _LIB = None
@@ -114,6 +128,63 @@ def minimizer_sketch(codes, k, w):
     )
     return (out_pos[:count].copy(), out_hash[:count].copy(),
             out_strand[:count].astype(np.int8))
+
+
+class HashIndex:
+    """Open-addressing probe table over sorted unique minimizer hashes."""
+
+    def __init__(self, uniq_hashes, uniq_starts, uniq_counts):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError('native library unavailable')
+        self._lib = lib
+        n = len(uniq_hashes)
+        log2 = 3
+        while (1 << log2) < 2 * max(n, 1):
+            log2 += 1
+        self.log2 = log2
+        self.keys = np.full(1 << log2, np.uint64(0xFFFFFFFFFFFFFFFF),
+                            dtype=np.uint64)
+        self.vals = np.full(1 << log2, -1, dtype=np.int64)
+        self.uniq_starts = np.ascontiguousarray(uniq_starts, dtype=np.int64)
+        self.uniq_counts = np.ascontiguousarray(uniq_counts, dtype=np.int64)
+        uniq_hashes = np.ascontiguousarray(uniq_hashes, dtype=np.uint64)
+        lib.index_build(
+            uniq_hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(n),
+            self.keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            self.vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int32(log2))
+
+    def lookup(self, query_hashes, max_occ):
+        """:return: (q_idx, flat) int64 arrays; flat indexes the hash-sorted
+        index arrays, q_idx the query."""
+        qh = np.ascontiguousarray(query_hashes, dtype=np.uint64)
+        nq = len(qh)
+        counts = np.empty(nq, dtype=np.int64)
+        keys_p = self.keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        vals_p = self.vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        qh_p = qh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        self._lib.index_count(
+            keys_p, vals_p, ctypes.c_int32(self.log2),
+            self.uniq_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            qh_p, ctypes.c_int64(nq), ctypes.c_int64(int(max_occ)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        offsets = np.zeros(nq, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:]) if nq > 1 else None
+        total = int(counts.sum())
+        q_idx = np.empty(total, dtype=np.int64)
+        flat = np.empty(total, dtype=np.int64)
+        if total:
+            self._lib.index_fill(
+                keys_p, vals_p, ctypes.c_int32(self.log2),
+                self.uniq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                qh_p, ctypes.c_int64(nq),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                q_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return q_idx, flat
 
 
 def chain_extract(scores, parents, cand, min_chain_score, min_anchors):

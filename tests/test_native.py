@@ -120,3 +120,28 @@ def test_chain_dp_matches_scan():
     # Parents may differ only where scores tie; require equal scores there.
     diff = np.asarray(p_j) != p_n
     assert np.allclose(f_n[diff], np.asarray(f_j)[diff], atol=1e-3)
+
+
+def test_hash_index_lookup_parity():
+    """Native probe-table lookup returns identical hits (order included) to
+    the numpy searchsorted path."""
+    import sys
+    from pav_tpu.io.fasta import SeqStore
+    from pav_tpu.align.aligner.index import MinimizerIndex, minimizers
+    sys.path.insert(0, 'tests')
+    from helpers import random_seq
+
+    rng = np.random.default_rng(17)
+    ref = SeqStore({'c1': random_seq(200000, rng), 'c2': random_seq(100000, rng)})
+    idx = MinimizerIndex(ref, k=19, w=10)
+    assert idx._hash_index is not None
+
+    q = np.concatenate([ref.get('c1')[50000:90000], random_seq(5000, rng)])
+    _, h, _ = minimizers(q, 19, 10)
+
+    a = idx.lookup(h, max_occ=16)
+    idx._hash_index = None
+    b = idx.lookup(h, max_occ=16)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    assert len(a[0]) > 1000

@@ -537,36 +537,49 @@ class Aligner:
             if seg.kind == 'break':
                 continue
             m, n = len(seg.q), len(seg.r)
-            size_b = _bucket_pow2(max(m, n), lo=64)  # 64, 128, 256, ...
-            if size_b <= 256:
-                width_b = size_b + 1
+            # Rows (query) and columns (ref) pad independently: large segments
+            # are nearly pure indels, so one side is usually tiny and square
+            # padding would scan ~64x more cells than the problem needs.
+            m_b = _bucket_pow2(m, lo=16)
+            n_b = _bucket_pow2(n, lo=16)
+            if max(m_b, n_b) <= 256:
+                # Most inter-anchor segments hug the diagonal; a narrow band
+                # cuts DP cells ~4x. Items whose path leaves the band resolve
+                # to None and re-run individually at full width below.
+                width = 2 * abs(m - n) + 17
+                width_b = min(_bucket_pow2(width, lo=16) + 1, n_b + 1)
             else:
                 width = min(2 * abs(m - n) + _MIN_WIDTH, n + 1)
-                width_b = min(_bucket_pow2(width, lo=256) + 1, size_b + 1)
-            buckets[(size_b, width_b)].append(si)
+                width_b = min(_bucket_pow2(width, lo=256) + 1, n_b + 1)
+            buckets[(m_b, n_b, width_b)].append(si)
 
         # Two-phase: dispatch every bucket to the device first, then collect —
         # transfers overlap compute and each other (async dispatch). Batch size
         # is FIXED per size class so each class compiles exactly one program.
         launches = []
-        for (size_b, width_b), idx_list in sorted(buckets.items()):
+        for (m_b, n_b, width_b), idx_list in sorted(buckets.items()):
             # Chunk so in-flight DP state stays bounded (~128M cells).
-            max_batch = max(8, (128 << 20) // max(size_b * width_b, 1))
+            max_batch = max(8, (128 << 20) // max(m_b * width_b, 1))
             for lo in range(0, len(idx_list), max_batch):
                 chunk = idx_list[lo:lo + max_batch]
                 pairs = [(segments[i].q, segments[i].r) for i in chunk]
                 handle = self.dp.align_batch_async(
-                    pairs, width=width_b, pad_to=size_b)
+                    pairs, width=width_b, pad_to=(m_b, n_b))
                 launches.append((chunk, pairs, handle))
 
+        retry = []
         for chunk, pairs, handle in launches:
-            try:
-                results = handle()
-            except RuntimeError:
-                # Band too narrow for some path: retry this chunk full-width.
-                full_w = max(len(r) for _, r in pairs) + 1
-                results = self.dp.align_batch(pairs, width=full_w)
+            results = handle()
             for i, res in zip(chunk, results):
+                if res is None:
+                    retry.append(i)
+                else:
+                    segments[i].result = res
+        if retry:
+            # Band-escaping paths (e.g. opposing gaps) re-run at full width.
+            pairs = [(segments[i].q, segments[i].r) for i in retry]
+            full_w = max(len(r) for _, r in pairs) + 1
+            for i, res in zip(retry, self.dp.align_batch(pairs, width=full_w)):
                 segments[i].result = res
 
         # Post-DP break detection: long segments that still aligned terribly.

@@ -380,7 +380,9 @@ class BandedAligner:
             B_pad = 8
             while B_pad < B:
                 B_pad *= 4
-        if pad_to is not None:
+        if isinstance(pad_to, tuple):
+            max_m, max_n = int(pad_to[0]), int(pad_to[1])
+        elif pad_to is not None:
             max_m = max_n = int(pad_to)
         else:
             max_m = max(_next_pow2(max_m), 8)
@@ -422,11 +424,12 @@ class BandedAligner:
             pk = np.asarray(packed[:B])
             pl = np.asarray(path_len[:B])
             er = np.asarray(err[:B])
-            if er.any():
-                if width >= max_n + 1:
-                    raise RuntimeError('Traceback failed at full width (program bug)')
-                raise RuntimeError('band too narrow for this segment batch')
-            return [packed_steps_to_cigar(pk[i], int(pl[i])) for i in range(B)]
+            if er.any() and width >= max_n + 1:
+                raise RuntimeError('Traceback failed at full width (program bug)')
+            # Band-too-narrow items resolve to None; the caller re-runs just
+            # those at full width (per-item, not per-batch).
+            return [None if er[i] else packed_steps_to_cigar(pk[i], int(pl[i]))
+                    for i in range(B)]
 
         return resolve
 

@@ -54,7 +54,8 @@ def prime_kernels(sizes=('small', 'medium'), kde_grids=(1 << 14, 1 << 16, 1 << 1
     dp = affine_dp.BandedAligner()
     rng = np.random.default_rng(0)
 
-    classes = [(64, 65, 2048), (64, 65, 128), (256, 257, 32)]
+    classes = [(64, 17, 2048), (64, 33, 2048), (64, 65, 2048), (64, 65, 128),
+               (256, 257, 32)]
     if 'large' in sizes:
         classes.append((1024, 257, 8))
     for size_b, width_b, batch in classes:

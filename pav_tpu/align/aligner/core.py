@@ -86,6 +86,11 @@ def _bucket_pow2(x, lo=32, hi=1 << 15):
     return v
 
 
+def _shape_batch(m_b, width_b):
+    """Deterministic batch size for a DP shape (one compiled program each)."""
+    return max(8, min(4096, (128 << 20) // max(m_b * width_b, 1)))
+
+
 class _Segment:
     __slots__ = ('q', 'r', 'kind', 'result')
 
@@ -558,13 +563,22 @@ class Aligner:
         # is FIXED per size class so each class compiles exactly one program.
         launches = []
         for (m_b, n_b, width_b), idx_list in sorted(buckets.items()):
-            # Chunk so in-flight DP state stays bounded (~128M cells).
-            max_batch = max(8, (128 << 20) // max(m_b * width_b, 1))
-            for lo in range(0, len(idx_list), max_batch):
-                chunk = idx_list[lo:lo + max_batch]
+            # Fixed batch per shape: every launch of a shape compiles exactly
+            # one program (primable ahead of time by runtime.prime_kernels),
+            # sized so in-flight DP state stays bounded (~128M cells).
+            batch = _shape_batch(m_b, width_b)
+            for lo in range(0, len(idx_list), batch):
+                chunk = idx_list[lo:lo + batch]
                 pairs = [(segments[i].q, segments[i].r) for i in chunk]
+                # Full chunks land exactly on the primed fixed-batch program;
+                # small workloads quantize down (pow4) instead of paying the
+                # full batch's execution cost.
+                b_pad = 8
+                while b_pad < len(chunk):
+                    b_pad *= 4
                 handle = self.dp.align_batch_async(
-                    pairs, width=width_b, pad_to=(m_b, n_b))
+                    pairs, width=width_b, pad_to=(m_b, n_b),
+                    pad_batch=min(batch, b_pad))
                 launches.append((chunk, pairs, handle))
 
         retry = []

@@ -46,23 +46,57 @@ def enable_compile_cache(cache_dir=None):
         pass
 
 
-def prime_kernels(sizes=('small', 'medium'), kde_grids=(1 << 14, 1 << 16, 1 << 17)):
+# The aligner's hot DP launches ((m_pad, n_pad), width, batch): rows and
+# columns pad independently (large inter-anchor segments are nearly pure
+# indels), and batch quantizes pow4 capped at the shape's fixed chunk size.
+# This is the observed working set of human-like genome runs; unlisted
+# combinations still compile on demand (persistent cache makes each a
+# once-per-machine cost).
+_DP_LAUNCHES = [
+    ((16, 16), 17, 512), ((16, 16), 17, 4096),
+    ((16, 32), 33, 512), ((16, 32), 33, 2048),
+    ((32, 16), 17, 512), ((32, 16), 17, 2048),
+    ((16, 64), 65, 32), ((16, 64), 65, 512),
+    ((64, 16), 17, 32), ((64, 16), 17, 128),
+    ((16, 128), 129, 8), ((16, 128), 129, 32),
+    ((128, 16), 17, 8), ((128, 16), 17, 128),
+    ((16, 256), 257, 32), ((256, 16), 17, 32),
+    ((32, 32), 33, 8), ((32, 64), 65, 8),
+    ((64, 32), 33, 8), ((64, 64), 33, 8), ((64, 64), 65, 8),
+]
+
+_DP_LAUNCHES_LARGE = [
+    ((16, 512), 513, 32), ((16, 512), 513, 128),
+    ((512, 16), 17, 32), ((512, 16), 17, 512),
+    ((16, 1024), 1025, 128), ((16, 1024), 1025, 512),
+    ((1024, 16), 17, 32), ((1024, 16), 17, 128), ((1024, 16), 17, 512),
+    ((16, 2048), 2049, 32), ((16, 2048), 2049, 128), ((16, 2048), 2049, 512),
+    ((2048, 16), 17, 32), ((2048, 16), 17, 128), ((2048, 16), 17, 512),
+    ((32, 2048), 2049, 8),
+]
+
+
+def prime_kernels(sizes=('small', 'medium', 'large'),
+                  kde_grids=(1 << 14, 1 << 16, 1 << 17)):
     """Pre-compile the engine's canonical kernel shapes so data-dependent work
-    never stalls on a compile (compiles are expensive on tunneled backends)."""
+    never stalls on a compile (compiles are expensive on tunneled backends,
+    and one cold genome run touches ~30 DP programs)."""
     from .ops import affine_dp, kde
 
     dp = affine_dp.BandedAligner()
     rng = np.random.default_rng(0)
 
-    classes = [(64, 17, 2048), (64, 33, 2048), (64, 65, 2048), (64, 65, 128),
-               (256, 257, 32)]
+    launches = list(_DP_LAUNCHES)
     if 'large' in sizes:
-        classes.append((1024, 257, 8))
-    for size_b, width_b, batch in classes:
-        q = rng.integers(0, 4, size_b // 2).astype(np.uint8)
-        r = q.copy()
-        dp.align_batch_async([(q, r)], width=width_b, pad_to=size_b,
-                             pad_batch=batch)()
+        launches += _DP_LAUNCHES_LARGE
+    handles = []
+    for (m_b, n_b), width_b, batch in launches:
+        q = rng.integers(0, 4, max(m_b // 2, 1)).astype(np.uint8)
+        r = rng.integers(0, 4, max(n_b // 2, 1)).astype(np.uint8)
+        handles.append(dp.align_batch_async(
+            [(q, r)], width=width_b, pad_to=(m_b, n_b), pad_batch=batch))
+    for h in handles:
+        h()
 
     # KDE shapes: common grid sizes x a spread of kernel widths.
     for n in kde_grids:

@@ -72,4 +72,38 @@ void index_fill(const uint64_t* table_keys, const int64_t* table_vals,
     }
 }
 
+// Pass 2 (fused): emit complete anchor rows — strand-transformed query
+// position, reference position, chromosome, and relative orientation — so the
+// host skips four 30M-element numpy passes per chromosome-scale contig.
+void index_fill_anchors(const uint64_t* table_keys, const int64_t* table_vals,
+                        int32_t log2_size, const int64_t* uniq_starts,
+                        const uint64_t* qh, const int64_t* qpos,
+                        const int8_t* qstrand, int64_t nq, int64_t qlen,
+                        int32_t k, const int64_t* counts,
+                        const int64_t* offsets, const int32_t* idx_chrom,
+                        const int64_t* idx_pos, const int8_t* idx_strand,
+                        int64_t* out_qpos, int64_t* out_rpos,
+                        int32_t* out_chrom, uint8_t* out_rev) {
+    const uint64_t mask = (1ull << log2_size) - 1;
+    for (int64_t i = 0; i < nq; ++i) {
+        const int64_t c = counts[i];
+        if (c == 0) continue;
+        const uint64_t h = qh[i];
+        uint64_t slot = h & mask;
+        while (table_keys[slot] != h) slot = (slot + 1) & mask;
+        const int64_t start = uniq_starts[table_vals[slot]];
+        const int64_t qp = qpos[i];
+        const int8_t qs = qstrand[i];
+        int64_t o = offsets[i];
+        for (int64_t j = 0; j < c; ++j) {
+            const int64_t flat = start + j;
+            const uint8_t rev = idx_strand[flat] != qs;
+            out_qpos[o + j] = rev ? qlen - qp - k : qp;
+            out_rpos[o + j] = idx_pos[flat];
+            out_chrom[o + j] = idx_chrom[flat];
+            out_rev[o + j] = rev;
+        }
+    }
+}
+
 }  // extern "C"

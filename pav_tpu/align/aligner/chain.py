@@ -40,6 +40,17 @@ def collect_anchors(qry_codes, index, max_occ=64):
     """
     k, w = index.k, index.w
     qpos, qhash, qstrand = minimizers(qry_codes, k, w)
+    qlen = len(qry_codes)
+
+    hi = getattr(index, '_hash_index', None)
+    if hi is not None:
+        # Fused native path: probe + strand transform + row assembly in one C
+        # pass (skips four hit-sized numpy passes).
+        a_qpos, t_pos, t_chrom, rev = hi.anchors(
+            qhash, qpos, qstrand, qlen, k, max_occ,
+            index.chrom_ids, index.positions, index.strands)
+        return a_qpos, t_pos, t_chrom, rev
+
     q_idx, t_chrom, t_pos, t_strand = index.lookup(qhash, max_occ=max_occ)
 
     if len(q_idx) == 0:
@@ -48,7 +59,6 @@ def collect_anchors(qry_codes, index, max_occ=64):
 
     a_qpos = qpos[q_idx]
     rev = (qstrand[q_idx] != t_strand)
-    qlen = len(qry_codes)
     a_qpos = np.where(rev, qlen - a_qpos - k, a_qpos)
     return a_qpos, t_pos, t_chrom, rev
 
@@ -68,7 +78,15 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
         return []
 
     group = chrom.astype(np.int64) * 2 + rev.astype(np.int64)
-    order = np.lexsort((qpos, rpos, group))
+    if (group.max() < (1 << 7) and rpos.max() < (1 << 28)
+            and qpos.max() < (1 << 28)):
+        # Composite u64 key: one argsort instead of three lexsort passes.
+        key = ((group.astype(np.uint64) << np.uint64(56))
+               | (rpos.astype(np.uint64) << np.uint64(28))
+               | qpos.astype(np.uint64))
+        order = np.argsort(key, kind='stable')
+    else:
+        order = np.lexsort((qpos, rpos, group))
     qpos, rpos, group, rev = qpos[order], rpos[order], group[order], rev[order]
     chrom = chrom[order]
 

@@ -77,6 +77,14 @@ def get_lib():
                 _u64p, _i64p, ctypes.c_int32, _i64p, _u64p, ctypes.c_int64,
                 _i64p, _i64p, _i64p, _i64p]
             lib.index_fill.restype = None
+            _i8p = ctypes.POINTER(ctypes.c_int8)
+            lib.index_fill_anchors.argtypes = [
+                _u64p, _i64p, ctypes.c_int32, _i64p, _u64p, _i64p, _i8p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, _i64p, _i64p,
+                ctypes.POINTER(ctypes.c_int32), _i64p, _i8p,
+                _i64p, _i64p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.index_fill_anchors.restype = None
             _LIB = lib
         except Exception:
             _LIB = None
@@ -185,6 +193,51 @@ class HashIndex:
                 q_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return q_idx, flat
+
+    def anchors(self, query_hashes, qpos, qstrand, qlen, k, max_occ,
+                idx_chrom, idx_pos, idx_strand):
+        """Fused anchor assembly: returns (qpos', rpos, chrom, rev) per hit,
+        with qpos' already strand-transformed (q' = qlen - q - k on rev)."""
+        qh = np.ascontiguousarray(query_hashes, dtype=np.uint64)
+        qpos = np.ascontiguousarray(qpos, dtype=np.int64)
+        qstrand = np.ascontiguousarray(qstrand, dtype=np.int8)
+        nq = len(qh)
+        counts = np.empty(nq, dtype=np.int64)
+        keys_p = self.keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        vals_p = self.vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        qh_p = qh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        self._lib.index_count(
+            keys_p, vals_p, ctypes.c_int32(self.log2),
+            self.uniq_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            qh_p, ctypes.c_int64(nq), ctypes.c_int64(int(max_occ)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        offsets = np.zeros(nq, dtype=np.int64)
+        if nq > 1:
+            np.cumsum(counts[:-1], out=offsets[1:])
+        total = int(counts.sum())
+        a_qpos = np.empty(total, dtype=np.int64)
+        rpos = np.empty(total, dtype=np.int64)
+        chrom = np.empty(total, dtype=np.int32)
+        rev = np.empty(total, dtype=np.uint8)
+        if total:
+            self._lib.index_fill_anchors(
+                keys_p, vals_p, ctypes.c_int32(self.log2),
+                self.uniq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                qh_p,
+                qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                qstrand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                ctypes.c_int64(nq), ctypes.c_int64(int(qlen)),
+                ctypes.c_int32(int(k)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                idx_chrom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                idx_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                idx_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                a_qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                rpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                chrom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                rev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return a_qpos, rpos, chrom, rev.astype(bool)
 
 
 def chain_extract(scores, parents, cand, min_chain_score, min_anchors):

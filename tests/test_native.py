@@ -145,3 +145,33 @@ def test_hash_index_lookup_parity():
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
     assert len(a[0]) > 1000
+
+
+def test_fused_anchor_assembly_parity():
+    """Native fused anchors (probe + strand transform + row assembly) match
+    the numpy composition path."""
+    import sys
+    from pav_tpu.io.fasta import SeqStore
+    from pav_tpu.align.aligner.index import MinimizerIndex
+    from pav_tpu.align.aligner.chain import collect_anchors
+    from pav_tpu import seqcodec
+    sys.path.insert(0, 'tests')
+    from helpers import random_seq
+
+    rng = np.random.default_rng(23)
+    ref = SeqStore({'c1': random_seq(150000, rng), 'c2': random_seq(80000, rng)})
+    idx = MinimizerIndex(ref, k=19, w=10)
+    assert idx._hash_index is not None
+    # Mixed-orientation query: fwd slice + revcomp slice + noise
+    q = np.concatenate([
+        ref.get('c1')[20000:50000],
+        seqcodec.revcomp(ref.get('c2')[10000:30000]),
+        random_seq(3000, rng)])
+
+    a = collect_anchors(q, idx, max_occ=16)
+    idx._hash_index = None
+    b = collect_anchors(q, idx, max_occ=16)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    assert len(a[0]) > 2000
+    assert a[3].any() and not a[3].all()

@@ -23,7 +23,9 @@ import numpy as np
 
 BASELINE_MBP_S = 0.33
 
-REF_MBP = float(os.environ.get('PAV_BENCH_REF_MBP', 8))
+# 16 Mbp default: a long enough timed section to amortize host page-fault
+# and scheduling noise (this image's VM varies ~2x run to run at 8 Mbp).
+REF_MBP = float(os.environ.get('PAV_BENCH_REF_MBP', 16))
 SEED = 11
 
 

@@ -77,18 +77,24 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
     if n == 0:
         return []
 
-    group = chrom.astype(np.int64) * 2 + rev.astype(np.int64)
-    if (group.max() < (1 << 7) and rpos.max() < (1 << 28)
-            and qpos.max() < (1 << 28)):
-        # Composite u64 key: one argsort instead of three lexsort passes.
-        key = ((group.astype(np.uint64) << np.uint64(56))
-               | (rpos.astype(np.uint64) << np.uint64(28))
-               | qpos.astype(np.uint64))
-        order = np.argsort(key, kind='stable')
+    from ... import native
+    res = native.sort_anchors(qpos, rpos, chrom, rev.astype(np.uint8))
+    if res is not None:
+        qpos, rpos, group, chrom, rev = res
     else:
-        order = np.lexsort((qpos, rpos, group))
-    qpos, rpos, group, rev = qpos[order], rpos[order], group[order], rev[order]
-    chrom = chrom[order]
+        group = chrom.astype(np.int64) * 2 + rev.astype(np.int64)
+        if (group.max() < (1 << 7) and rpos.max() < (1 << 28)
+                and qpos.max() < (1 << 28)):
+            # Composite u64 key: one argsort instead of three lexsort passes.
+            key = ((group.astype(np.uint64) << np.uint64(56))
+                   | (rpos.astype(np.uint64) << np.uint64(28))
+                   | qpos.astype(np.uint64))
+            order = np.argsort(key, kind='stable')
+        else:
+            order = np.lexsort((qpos, rpos, group))
+        qpos, rpos, group, rev = (qpos[order], rpos[order], group[order],
+                                  rev[order])
+        chrom = chrom[order]
 
     scores, parents = chain_scores(
         qpos, rpos, group, k, lookback=lookback, max_dist=max_dist,

@@ -436,11 +436,11 @@ class Aligner:
             return
         if lq == lr:
             mism = (sq != sr) | (sq >= 4)
-            frac = mism.mean()
-            if frac <= max(2 / lq, _DIRECT_MISMATCH_FRAC):
+            n_mism = int(np.count_nonzero(mism))
+            if n_mism <= max(2, _DIRECT_MISMATCH_FRAC * lq):
                 parts.append(('cig', _compare_runs_list(mism)))
                 return
-            if lq >= _BREAK_MIN_LEN and frac >= _BREAK_MISMATCH_FRAC:
+            if lq >= _BREAK_MIN_LEN and n_mism >= _BREAK_MISMATCH_FRAC * lq:
                 # Effectively unalignable (Z-drop analog): break the record here.
                 seg = _Segment(sq, sr, kind='break')
                 parts.append(('seg', len(segments)))

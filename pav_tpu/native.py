@@ -19,7 +19,8 @@ _TRIED = False
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRCS = [os.path.join(_REPO_ROOT, 'native', 'chain.cpp'),
          os.path.join(_REPO_ROOT, 'native', 'minimizer.cpp'),
-         os.path.join(_REPO_ROOT, 'native', 'lookup.cpp')]
+         os.path.join(_REPO_ROOT, 'native', 'lookup.cpp'),
+         os.path.join(_REPO_ROOT, 'native', 'sortanchors.cpp')]
 _BUILD_DIR = os.path.join(_REPO_ROOT, 'build')
 _SO_PATH = os.path.join(_BUILD_DIR, 'libpavnative.so')
 
@@ -85,6 +86,12 @@ def get_lib():
                 _i64p, _i64p, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.index_fill_anchors.restype = None
+            lib.sort_anchors.argtypes = [
+                _i64p, _i64p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                _i64p, _i64p, _i64p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.sort_anchors.restype = ctypes.c_int64
             _LIB = lib
         except Exception:
             _LIB = None
@@ -136,6 +143,39 @@ def minimizer_sketch(codes, k, w):
     )
     return (out_pos[:count].copy(), out_hash[:count].copy(),
             out_strand[:count].astype(np.int8))
+
+
+def sort_anchors(qpos, rpos, chrom, rev):
+    """Native radix sort of anchors by (group, rpos, qpos); emits permuted
+    (qpos, rpos, group, chrom, rev) arrays directly. Returns None when the
+    native library is unavailable or a field exceeds the key range."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qpos)
+    qpos = np.ascontiguousarray(qpos, dtype=np.int64)
+    rpos = np.ascontiguousarray(rpos, dtype=np.int64)
+    chrom = np.ascontiguousarray(chrom, dtype=np.int32)
+    rev = np.ascontiguousarray(rev, dtype=np.uint8)
+    out_q = np.empty(n, dtype=np.int64)
+    out_r = np.empty(n, dtype=np.int64)
+    out_g = np.empty(n, dtype=np.int64)
+    out_c = np.empty(n, dtype=np.int32)
+    out_v = np.empty(n, dtype=np.uint8)
+    rc = lib.sort_anchors(
+        qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        chrom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+        out_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_g.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return out_q, out_r, out_g, out_c, out_v.astype(bool)
 
 
 class HashIndex:

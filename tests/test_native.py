@@ -175,3 +175,29 @@ def test_fused_anchor_assembly_parity():
         assert np.array_equal(np.asarray(x), np.asarray(y))
     assert len(a[0]) > 2000
     assert a[3].any() and not a[3].all()
+
+
+def test_sort_anchors_parity():
+    rng = np.random.default_rng(29)
+    n = 100000
+    qpos = rng.integers(0, 1 << 27, n)
+    rpos = rng.integers(0, 1 << 27, n)
+    chrom = rng.integers(0, 5, n).astype(np.int32)
+    rev = rng.integers(0, 2, n).astype(np.uint8)
+
+    res = native.sort_anchors(qpos, rpos, chrom, rev)
+    assert res is not None
+    sq, sr, sg, sc, sv = res
+
+    group = chrom.astype(np.int64) * 2 + rev.astype(np.int64)
+    order = np.lexsort((qpos, rpos, group))
+    assert np.array_equal(sq, qpos[order])
+    assert np.array_equal(sr, rpos[order])
+    assert np.array_equal(sg, group[order])
+    assert np.array_equal(sc, chrom[order])
+    assert np.array_equal(sv, rev[order].astype(bool))
+
+    # Out-of-range positions must fall back (return None).
+    big = qpos.copy()
+    big[0] = 1 << 29
+    assert native.sort_anchors(big, rpos, chrom, rev) is None

@@ -294,37 +294,23 @@ class Aligner:
 
     # ------------------------------------------------------------ extension
 
-    @staticmethod
-    def _part_advances(meta, segments):
-        """Total (query, ref) bases consumed by a chain's parts."""
-        q_adv = r_adv = 0
-        for part in meta['parts']:
-            if part[0] == 'cig':
-                for l, o in part[1]:
-                    if cg.CONSUMES_QRY[o]:
-                        q_adv += l
-                    if cg.CONSUMES_REF[o]:
-                        r_adv += l
-            else:
-                seg = segments[part[1]]
-                q_adv += len(seg.q)
-                r_adv += len(seg.r)
-        return q_adv, r_adv
-
     def _plan_end_extensions(self, metas, segments, qlen, oriented):
         """Register extension DP segments for the contig tails outside all
         selected chains' coverage (bounded by _MAX_EXTEND per end)."""
         if not metas:
             return
         # Original-frame outermost coverage over all chains of this contig.
+        # Chain boundaries are anchors, so each chain's outer coverage is its
+        # (q_start, q_end) span (recorded at planning; no parts re-walk).
         lo_min, lo_meta = qlen, None
         hi_max, hi_meta = 0, None
         for meta in metas:
-            spans = self._covered_spans(meta, segments, qlen)
-            if not spans:
+            if meta['is_rev']:
+                lo, hi = qlen - meta['q_end'], qlen - meta['q_start']
+            else:
+                lo, hi = meta['q_start'], meta['q_end']
+            if hi <= lo:
                 continue
-            lo = min(s for s, _ in spans)
-            hi = max(e for _, e in spans)
             if lo < lo_min:
                 lo_min, lo_meta = lo, meta
             if hi > hi_max:
@@ -364,9 +350,7 @@ class Aligner:
             meta['r_start'] = r_start - w0
             meta['parts'].insert(0, ('seg', len(segments) - 1))
         else:
-            q_adv, r_adv = self._part_advances(meta, segments)
-            q_end = meta['q_start'] + q_adv
-            r_end = meta['r_start'] + r_adv
+            q_end, r_end = meta['q_end'], meta['r_end']
             e = min(e, qlen - q_end)
             w0 = min(e + slack, len(ref) - r_end)
             if e <= 0 or w0 <= 0:
@@ -418,6 +402,7 @@ class Aligner:
             'qry_name': qry_name, 'qlen': qlen, 'is_rev': chain.is_rev,
             'chrom': self.index.chrom_names[chain.chrom_id],
             'q_start': int(qpos[0]), 'r_start': int(rpos[0]),
+            'q_end': int(qpos[-1]) + k, 'r_end': int(rpos[-1]) + k,
             'score': chain.score, 'n_anchors': chain.n_anchors,
             'mapq': self._mapq(chain),
             'parts': parts,

@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cmath>
+#include <cstring>
 #include <algorithm>
 #include <vector>
 
@@ -68,6 +69,15 @@ void chain_dp(const int32_t* qpos, const int32_t* rpos, const int32_t* group,
 //
 // Returns the number of accepted chains. Caller buffers: out_idx of size n,
 // out_start/out_score of size n/min_anchors + 1.
+// Candidate selection + descending stable sort + extraction in one call:
+// picks tails with score >= min_chain_score, orders them by (score desc,
+// index asc) via a radix sort on a packed key, then extracts. Equivalent to
+// chain_extract(cand = argsort-desc(nonzero(scores >= min))).
+int64_t chain_select_extract(const float* scores, const int64_t* parents,
+                             int64_t n, float min_chain_score,
+                             int64_t min_anchors, int64_t* out_idx,
+                             int64_t* out_start, float* out_score);
+
 int64_t chain_extract(const float* scores, const int64_t* parents, int64_t n,
                       const int64_t* cand, int64_t n_cand,
                       float min_chain_score, int64_t min_anchors,
@@ -97,6 +107,47 @@ int64_t chain_extract(const float* scores, const int64_t* parents, int64_t n,
     }
     out_start[n_chains] = out_pos;
     return n_chains;
+}
+
+int64_t chain_select_extract(const float* scores, const int64_t* parents,
+                             int64_t n, float min_chain_score,
+                             int64_t min_anchors, int64_t* out_idx,
+                             int64_t* out_start, float* out_score) {
+    // Pack (score desc, index asc) into a u64 key. Floats here are
+    // non-negative (chain scores), so the sign-flip trick reduces to setting
+    // the top bit; complementing yields descending order.
+    std::vector<uint64_t> keys;
+    keys.reserve(1024);
+    for (int64_t i = 0; i < n; ++i) {
+        if (scores[i] >= min_chain_score) {
+            uint32_t u;
+            std::memcpy(&u, &scores[i], 4);
+            const uint32_t asc = u | 0x80000000u;  // non-negative floats
+            keys.push_back((static_cast<uint64_t>(~asc) << 32)
+                           | static_cast<uint64_t>(i & 0xFFFFFFFF));
+        }
+    }
+    const int64_t n_cand = static_cast<int64_t>(keys.size());
+    // LSD radix, 4 x 16-bit digits.
+    std::vector<uint64_t> tmp(n_cand);
+    std::vector<int64_t> count(1 << 16);
+    for (int pass = 0; pass < 4; ++pass) {
+        const int shift = pass * 16;
+        std::fill(count.begin(), count.end(), 0);
+        for (int64_t i = 0; i < n_cand; ++i)
+            ++count[(keys[i] >> shift) & 0xFFFF];
+        int64_t sum = 0;
+        for (auto& c : count) { const int64_t t = c; c = sum; sum += t; }
+        for (int64_t i = 0; i < n_cand; ++i)
+            tmp[count[(keys[i] >> shift) & 0xFFFF]++] = keys[i];
+        keys.swap(tmp);
+    }
+    std::vector<int64_t> cand(n_cand);
+    for (int64_t i = 0; i < n_cand; ++i)
+        cand[i] = static_cast<int64_t>(keys[i] & 0xFFFFFFFF);
+    return chain_extract(scores, parents, n, cand.data(), n_cand,
+                         min_chain_score, min_anchors, out_idx, out_start,
+                         out_score);
 }
 
 }  // extern "C"

@@ -102,12 +102,10 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
 
     # Extract chains greedily from best-scoring tails. Only anchors that can
     # seed an acceptable chain are visited (most anchors score ~k).
-    cand = np.nonzero(scores >= min_chain_score)[0]
-    cand = cand[np.argsort(-scores[cand], kind='stable')]
     chains = []
 
-    from ... import native
-    res = native.chain_extract(scores, parents, cand, min_chain_score, min_anchors)
+    res = native.chain_select_extract(scores, parents, min_chain_score,
+                                      min_anchors)
     if res is not None:
         idx_all, starts, own_scores = res
         for t in range(len(own_scores)):
@@ -116,6 +114,8 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
             chains.append(Chain(chrom[i], bool(rev[i]), qpos[sl], rpos[sl],
                                 own_scores[t]))
     else:
+        cand = np.nonzero(scores >= min_chain_score)[0]
+        cand = cand[np.argsort(-scores[cand], kind='stable')]
         used = np.zeros(n, dtype=bool)
         ptr = 0
         while ptr < len(cand):

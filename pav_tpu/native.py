@@ -65,6 +65,13 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float),
             ]
             lib.chain_extract.restype = ctypes.c_int64
+            lib.chain_select_extract.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_float, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.chain_select_extract.restype = ctypes.c_int64
             _u64p = ctypes.POINTER(ctypes.c_uint64)
             _i64p = ctypes.POINTER(ctypes.c_int64)
             lib.index_build.argtypes = [
@@ -278,6 +285,32 @@ class HashIndex:
                 chrom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 rev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return a_qpos, rpos, chrom, rev.astype(bool)
+
+
+def chain_select_extract(scores, parents, min_chain_score, min_anchors):
+    """Native candidate selection (score >= min, desc-stable order) plus
+    greedy extraction in one call; same return shape as chain_extract, or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(scores)
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    parents = np.ascontiguousarray(parents, dtype=np.int64)
+    out_idx = np.empty(max(n, 1), dtype=np.int64)
+    n_max = n // max(int(min_anchors), 1) + 2
+    out_start = np.empty(n_max, dtype=np.int64)
+    out_score = np.empty(n_max, dtype=np.float32)
+    n_chains = lib.chain_select_extract(
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        parents.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        ctypes.c_float(float(min_chain_score)), ctypes.c_int64(int(min_anchors)),
+        out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return (out_idx[:out_start[n_chains]].copy(),
+            out_start[:n_chains + 1].copy(), out_score[:n_chains].copy())
 
 
 def chain_extract(scores, parents, cand, min_chain_score, min_anchors):

@@ -201,3 +201,17 @@ def test_sort_anchors_parity():
     big = qpos.copy()
     big[0] = 1 << 29
     assert native.sort_anchors(big, rpos, chrom, rev) is None
+
+
+@pytest.mark.parametrize('seed', [3, 11])
+def test_chain_select_extract_parity(seed):
+    """Fused selection+sort+extraction matches the two-step path exactly."""
+    scores, parents = _random_parent_forest(50000, seed)
+    cand = np.nonzero(scores >= 100)[0]
+    cand = cand[np.argsort(-scores[cand], kind='stable')]
+
+    a = native.chain_select_extract(scores, parents, 100.0, 3)
+    b = native.chain_extract(scores, parents, cand, 100.0, 3)
+    assert a is not None and b is not None
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)

@@ -138,3 +138,31 @@ def test_empty_sides():
     assert cg.to_string(lens, ops) == '10I'
     (lens, ops), = aligner.align_batch([(np.zeros(0, dtype=np.uint8), q)], width=16)
     assert cg.to_string(lens, ops) == '10D'
+
+
+def test_band_escape_resolves_to_none_and_full_width_recovers():
+    """A path with opposing gaps (net zero length change) escapes a narrow
+    band: the item must resolve to None (not an exception), and a full-width
+    re-run must produce a valid alignment. This is the aligner's per-item
+    retry contract."""
+    rng = np.random.default_rng(41)
+    s1 = rng.integers(0, 4, 60).astype(np.uint8)
+    s2 = rng.integers(0, 4, 60).astype(np.uint8)
+    ins = rng.integers(0, 4, 40).astype(np.uint8)
+    dele = rng.integers(0, 4, 40).astype(np.uint8)
+    q = np.concatenate([s1, ins, s2])
+    r = np.concatenate([s1, dele, s2])  # unrelated middle: I+D wander
+
+    dp = affine_dp.BandedAligner()
+    narrow = dp.align_batch([(q, r)], width=17, pad_to=(256, 256))
+    full = dp.align_batch([(q, r)], width=161, pad_to=(256, 256))
+
+    assert full[0] is not None
+    lens, ops = full[0]
+    assert int(lens[cg.CONSUMES_QRY[ops].astype(bool)].sum()) == len(q)
+    assert int(lens[cg.CONSUMES_REF[ops].astype(bool)].sum()) == len(r)
+    # The narrow run either found an in-band path or flagged the item; it must
+    # never raise or return a malformed CIGAR.
+    if narrow[0] is not None:
+        lens_n, ops_n = narrow[0]
+        assert int(lens_n[cg.CONSUMES_QRY[ops_n].astype(bool)].sum()) == len(q)

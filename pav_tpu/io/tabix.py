@@ -180,7 +180,19 @@ class TabixIndex:
                     if parts[0] != chrom:
                         continue
                     pos1 = int(parts[1])
-                    if pos1 - 1 < end and pos1 >= beg:
+                    rec_beg = pos1 - 1
+                    rec_end = rec_beg + max(len(parts[3]), 1)
+                    # Symbolic ALTs (e.g. <INV>) span to INFO END when present,
+                    # matching htslib's interval semantics.
+                    if len(parts) > 7 and 'END=' in parts[7]:
+                        for field in parts[7].split(';'):
+                            if field.startswith('END='):
+                                try:
+                                    rec_end = max(rec_end, int(field[4:]))
+                                except ValueError:
+                                    pass
+                                break
+                    if rec_beg < end and rec_end > beg:
                         yield line
 
 

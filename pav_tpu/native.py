@@ -22,7 +22,27 @@ _SRCS = [os.path.join(_REPO_ROOT, 'native', 'chain.cpp'),
          os.path.join(_REPO_ROOT, 'native', 'lookup.cpp'),
          os.path.join(_REPO_ROOT, 'native', 'sortanchors.cpp')]
 _BUILD_DIR = os.path.join(_REPO_ROOT, 'build')
-_SO_PATH = os.path.join(_BUILD_DIR, 'libpavnative.so')
+
+
+def _host_tag():
+    # Key the cached .so by host CPU so a -march=native build from one machine
+    # is never loaded on another (shared checkouts / reused container images
+    # would otherwise risk SIGILL).
+    import hashlib
+    import platform
+    cpu = platform.machine()
+    try:
+        with open('/proc/cpuinfo') as fh:
+            for line in fh:
+                if line.startswith('flags'):
+                    cpu += hashlib.md5(line.encode()).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
+    return cpu
+
+
+_SO_PATH = os.path.join(_BUILD_DIR, f'libpavnative-{_host_tag()}.so')
 
 
 def _build():

@@ -198,12 +198,17 @@ def write_merged_vcf(asm_name, input_dict, output_filename, ref_store,
                                 vs, out.tell_virtual()))
 
     # Tabix index (reference runs the external tabix binary:
-    # rules/vcf.snakefile:97).
+    # rules/vcf.snakefile:97). Remove any stale index first so a failed write
+    # can't leave a .tbi inconsistent with the new VCF.
+    tbi_path = output_filename + '.tbi'
+    if os.path.exists(tbi_path):
+        os.unlink(tbi_path)
     try:
         from .io.tabix import write_tabix
-        write_tabix(tbi_records, output_filename + '.tbi')
-    except Exception:
-        pass  # index is best-effort; the VCF itself is complete
+        write_tabix(tbi_records, tbi_path)
+    except Exception as exc:
+        import warnings
+        warnings.warn(f'tabix index write failed for {output_filename}: {exc!r}')
 
 
 def ref_info_table(ref_store, with_md5=True):

@@ -191,6 +191,17 @@ def main():
                + result['merged'][('svindel_del', 'pass')].shape[0])
     assert n_snv > 100 and n_indel > 10, f'implausible callset: {n_snv} SNV, {n_indel} indel'
 
+    # Per-stage wall-time breakdown (stderr; VERDICT r1 weak #9).
+    stage_tot = {}
+    for (_, stage), secs in pipeline.timings.items():
+        stage_tot[stage] = stage_tot.get(stage, 0.0) + secs
+    import jax
+    sys.stderr.write(f'[bench] backend={jax.default_backend()} '
+                     f'elapsed={elapsed:.2f}s breakdown (summed over haps):\n')
+    for stage, secs in sorted(stage_tot.items(), key=lambda kv: -kv[1]):
+        sys.stderr.write(f'[bench]   {stage:<14} {secs:7.2f}s  '
+                         f'{100 * secs / max(elapsed, 1e-9):5.1f}%\n')
+
     value = contig_mbp / elapsed
     print(json.dumps({
         'metric': 'contig_mbp_aligned_called_per_s',

@@ -1,265 +1,287 @@
 """Alignment trimming: resolve redundantly-mapped bases between overlapping
 alignment records, in query space then reference space.
 
-Algorithm parity with the reference (pavlib/align/trim.py:11-917): per-pair
-optimal cut-site search over CIGAR traces maximizing removed events (I/D/X)
-with left-alignment tie-breaks, containment drops, and min-length drops. The
-trace is a prefix-scan over CIGAR runs (ops, not bases), so cost is O(#ops),
-and the pair loops touch only same-contig / same-chromosome record groups.
+Matches the reference's behavior (pavlib/align/trim.py:11-917) through an
+original columnar design: cut candidates for a CIGAR are derived in one
+vectorized pass (prefix sums over runs), and the optimal cut pair is selected
+with searchsorted windows + one vectorized lexicographic argmin — no per-op
+Python walk and no per-candidate two-pointer loop. The behavior contract
+(which pair of cut sites wins, including every tie-break) is pinned by the
+differential tests in tests/test_reference_parity.py.
 
 Tiers produced by the pipeline: trim-none / trim-qry ("tig") / trim-qryref
 ("tigref") — reference rules/align.snakefile:54-97.
 """
 
 import numpy as np
+import pandas as pd
 
 from . import cigar as cg
 from .table import check_table, sort_align_table
 
-# Trace tuple fields (reference: pavlib/align/align.py:34-44)
-TC_INDEX, TC_OP_LEN, TC_OP_CODE, TC_DIFF_CUM, TC_DIFF, TC_EVENT_CUM, TC_EVENT, \
-    TC_SUB_BP, TC_QRY_BP, TC_CLIPS_BP, TC_CLIPH_BP = range(11)
+
+class CutCandidates:
+    """Cut candidates for one CIGAR walked from its cutting end.
+
+    One row per =/X run reachable within the cut budget; all fields are
+    parallel numpy arrays (columnar, not per-op tuples):
+
+      run_i    index of the run in the walked (lens, ops) arrays
+      run_len  bases in the run
+      mism     True where the run is mismatch ('X')
+      spent    cut-dimension bases consumed by all runs before this one
+      gain     cut-dimension bases this run can contribute (== run_len)
+      ev_lo    events (X bases + indel run count) strictly before this run
+      ev_run   events inside this run (run_len for X, 0 for =)
+      ref_bp   reference bases consumed before this run
+      qry_bp   query bases consumed before this run
+      sclip    soft-clipped bases seen before this run
+      hclip    hard-clipped bases seen before this run
+    """
+
+    __slots__ = ('run_i', 'run_len', 'mism', 'spent', 'gain', 'ev_lo',
+                 'ev_run', 'ref_bp', 'qry_bp', 'sclip', 'hclip')
+
+    @property
+    def size(self):
+        return len(self.run_i)
 
 
-def trace_cigar_to_zero(lens, ops, diff_bp, diff_query):
-    """Walk CIGAR ops from the head until diff_bp bases are consumed, recording
-    a cut-candidate trace at every =/X op (reference: trim.py:779-917)."""
-    trace = []
-    diff_cum = 0
-    event_cum = 0
-    sub_bp = 0
-    qry_bp = 0
-    clip_s = 0
-    clip_h = 0
-    last_no_match = False
+def cut_candidates(lens, ops, budget, in_query):
+    """Enumerate cut candidates in one vectorized pass over CIGAR runs.
 
-    for index in range(len(ops)):
-        op_len = int(lens[index])
-        op = int(ops[index])
+    The walk covers every run up to (and including) the first '=' run whose
+    cumulative cut-dimension consumption exceeds `budget` — aligned bases past
+    the overlap cannot host a better cut (behavior contract with reference
+    trim.py:779-917, pinned differentially in tests).
+    """
+    lens64 = np.asarray(lens, dtype=np.int64)
+    opsv = np.asarray(ops)
+    n = len(opsv)
 
-        if op == cg.EQ:
-            event, sub, qry = 0, op_len, op_len
-            last_no_match = False
-        elif op == cg.X:
-            event, sub, qry = op_len, op_len, op_len
-            last_no_match = True
-        elif op == cg.I:
-            event, sub, qry = 1, 0, op_len
-            last_no_match = True
-        elif op == cg.D:
-            event, sub, qry = 1, op_len, 0
-            last_no_match = True
-        elif op == cg.S:
-            event, sub, qry = 0, 0, 0
-            clip_s += op_len
-            last_no_match = True
-        elif op == cg.H:
-            event, sub, qry = 0, 0, 0
-            clip_h += op_len
-            last_no_match = True
-        else:
-            raise ValueError(f'Illegal CIGAR operation while trimming: op code {op}')
+    eq = opsv == cg.EQ
+    x = opsv == cg.X
+    ins = opsv == cg.I
+    dele = opsv == cg.D
+    sclip = opsv == cg.S
+    hclip = opsv == cg.H
+    if not (eq | x | ins | dele | sclip | hclip).all():
+        bad = opsv[~(eq | x | ins | dele | sclip | hclip)][0]
+        raise ValueError(f'Illegal CIGAR operation while trimming: op code {bad}')
 
-        diff_change = qry if diff_query else sub
+    ref_c = np.where(eq | x | dele, lens64, 0)
+    qry_c = np.where(eq | x | ins, lens64, 0)
+    cut_c = qry_c if in_query else ref_c
+    ev_c = np.where(x, lens64, 0) + (ins | dele)
 
-        if op in (cg.EQ, cg.X):
-            trace.append((index, op_len, op, diff_cum, diff_change,
-                          event_cum, event, sub_bp, qry_bp, clip_s, clip_h))
+    cum_cut = np.cumsum(cut_c)
+    over = eq & (cum_cut > budget)
+    last = int(np.argmax(over)) if over.any() else n - 1
+    sel = np.nonzero((eq | x) & (np.arange(n) <= last))[0]
 
-        diff_cum += diff_change
-        event_cum += event
-        sub_bp += sub
-        qry_bp += qry
+    cand = CutCandidates()
+    cand.run_i = sel
+    cand.run_len = lens64[sel]
+    cand.mism = x[sel]
+    cand.spent = cum_cut[sel] - cut_c[sel]
+    cand.gain = cut_c[sel]
+    cand.ev_lo = (np.cumsum(ev_c) - ev_c)[sel]
+    cand.ev_run = ev_c[sel]
+    cand.ref_bp = (np.cumsum(ref_c) - ref_c)[sel]
+    cand.qry_bp = (np.cumsum(qry_c) - qry_c)[sel]
+    cand.sclip = np.cumsum(np.where(sclip, lens64, 0))[sel]
+    cand.hclip = np.cumsum(np.where(hclip, lens64, 0))[sel]
+    return cand
 
-        if not (diff_cum <= diff_bp or last_no_match or len(trace) == 0):
+
+def select_cut_pair(cand_l, cand_r, budget):
+    """Pick the candidate pair removing >= budget cut-dimension bases while
+    maximizing removed events.
+
+    For each left row l the feasible right rows form a contiguous window:
+    it opens at the first row whose full-run cut reaches the budget and
+    closes at the last row whose minimal cut still fits within it (both found
+    by searchsorted — `spent` and `spent + gain - 1` are strictly increasing).
+    All windows are scored at once and the winner is the lexicographic best of
+    (max events, min residual, max left row, min right row) — the same
+    preference order the reference applies through nested strict-improvement
+    loops (left cuts nearest the shared boundary win ties).
+
+    Returns (li, ri) row indices into the candidate tables, or (None, None)
+    when either side has no candidates.
+    """
+    L, R = cand_l.size, cand_r.size
+    if L == 0 or R == 0:
+        return None, None
+
+    lo_l = cand_l.spent
+    hi_l = cand_l.spent + cand_l.gain - 1
+    reach_r = cand_r.spent + cand_r.gain - 1
+
+    start = np.minimum(
+        np.searchsorted(reach_r, budget - hi_l, side='left'), R - 1)
+    end = np.maximum(
+        np.searchsorted(cand_r.spent, budget - lo_l, side='right') - 1, start)
+
+    counts = end - start + 1
+    total = int(counts.sum())
+    l_rows = np.repeat(np.arange(L), counts)
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    r_rows = start[l_rows] + offs
+
+    slack = budget - (hi_l[l_rows] + reach_r[r_rows])
+    events = cand_l.ev_lo[l_rows] + cand_r.ev_lo[r_rows]
+    pe_l = cand_l.ev_run[l_rows]
+    pe_r = cand_r.ev_run[r_rows]
+    # When the full-run cut overshoots the budget, part of the cut runs'
+    # events still count — capped at the bases actually removed from them.
+    bonus = np.minimum(budget - slack,
+                       pe_l + pe_r - (pe_l > 0) - (pe_r > 0))
+    events = np.where(slack <= 0, events + bonus, events)
+    residual = np.maximum(slack, 0)
+
+    best = np.lexsort((r_rows, -l_rows, residual, -events))[0]
+    return int(l_rows[best]), int(r_rows[best])
+
+
+def _shave_cut_runs(cand_l, li, cand_r, ri, residual):
+    """Distribute leftover cut bases inside the two winning runs.
+
+    Mismatch runs absorb first (right side, then left), aligned runs after
+    (left side, then right); a run always keeps its last base so the trimmed
+    record still begins on an aligned op. Returns (shave_l, shave_r).
+    """
+    shave = {'l': 0, 'r': 0}
+    is_x = {'l': bool(cand_l.mism[li]), 'r': bool(cand_r.mism[ri])}
+    room = {'l': int(cand_l.run_len[li]) - 1, 'r': int(cand_r.run_len[ri]) - 1}
+    for side, want_x in (('r', True), ('l', True), ('l', False), ('r', False)):
+        if residual <= 0:
             break
-
-    return trace
-
-
-def find_cut_sites(trace_l, trace_r, diff_bp):
-    """Best (left, right) cut-site pair removing >= diff_bp bases while
-    maximizing removed events; ties prefer cuts closest to diff_bp then
-    left-aligned breaks (reference: trim.py:611-776)."""
-    tc_idx_r = 0
-    len_r = len(trace_r)
-
-    cut_idx_l = None
-    cut_idx_r = None
-    max_event = 0
-    max_diff_optimal = None
-
-    for tc_idx_l in range(len(trace_l) - 1, -1, -1):
-        cut_part_l = None
-        cut_part_r = None
-        max_event_part = 0
-        max_diff_optimal_part = None
-
-        min_bp_l = trace_l[tc_idx_l][TC_DIFF_CUM]
-        max_bp_l = trace_l[tc_idx_l][TC_DIFF_CUM] + trace_l[tc_idx_l][TC_DIFF] - 1
-
-        while (tc_idx_r + 1 < len_r
-               and max_bp_l + trace_r[tc_idx_r][TC_DIFF_CUM] + trace_r[tc_idx_r][TC_DIFF] - 1 < diff_bp):
-            tc_idx_r += 1
-
-        tc_idx_r_start = tc_idx_r
-
-        while (tc_idx_r < len_r
-               and (min_bp_l + trace_r[tc_idx_r][TC_DIFF_CUM] <= diff_bp
-                    or tc_idx_r == tc_idx_r_start)):
-
-            max_bp = max_bp_l + trace_r[tc_idx_r][TC_DIFF_CUM] + trace_r[tc_idx_r][TC_DIFF] - 1
-            diff_min = diff_bp - max_bp
-
-            event_count = trace_l[tc_idx_l][TC_EVENT_CUM] + trace_r[tc_idx_r][TC_EVENT_CUM]
-
-            if diff_min <= 0:
-                event_count += min(
-                    diff_bp - diff_min,
-                    (trace_l[tc_idx_l][TC_EVENT] + trace_r[tc_idx_r][TC_EVENT]
-                     - (1 if trace_l[tc_idx_l][TC_EVENT] > 0 else 0)
-                     - (1 if trace_r[tc_idx_r][TC_EVENT] > 0 else 0)),
-                )
-                diff_optimal = 0
-            else:
-                diff_optimal = diff_min
-
-            if (event_count > max_event_part
-                    or (event_count == max_event_part
-                        and (max_diff_optimal_part is None or diff_optimal < max_diff_optimal_part))):
-                cut_part_l = tc_idx_l
-                cut_part_r = tc_idx_r
-                max_event_part = event_count
-                max_diff_optimal_part = diff_optimal
-
-            tc_idx_r += 1
-
-        if (max_event_part > max_event
-                or (max_event_part == max_event
-                    and (max_diff_optimal is None
-                         or (max_diff_optimal_part is not None
-                             and max_diff_optimal_part < max_diff_optimal)))):
-            cut_idx_l = cut_part_l
-            cut_idx_r = cut_part_r
-            max_event = max_event_part
-            max_diff_optimal = max_diff_optimal_part
-
-        tc_idx_r = tc_idx_r_start
-
-    return cut_idx_l, cut_idx_r
+        if is_x[side] == want_x:
+            take = min(residual, room[side] - shave[side])
+            shave[side] += take
+            residual -= take
+    return shave['l'], shave['r']
 
 
-def trim_alignment_record(record_l, record_r, match_coord, rev_l=True, rev_r=False):
-    """Trim overlapping ends of two records until the overlap is resolved
-    (reference: trim.py:357-608). Returns modified copies."""
-    record_l = record_l.copy()
-    record_r = record_r.copy()
+def trim_record_pair(rec_l, rec_r, in_query, back_l=True, back_r=False):
+    """Trim the overlapping ends of two records (reference behavior:
+    trim.py:357-608). Records are plain dicts carrying the table fields plus
+    'cig' = (lens, ops); returns modified copies.
 
-    if match_coord not in ('query', 'subject'):
-        raise ValueError(f'Unknown match_coord parameter: {match_coord}')
+    :param back_l/back_r: walk that record's CIGAR from its tail (cut its
+        right end) instead of its head.
+    """
+    rec_l = dict(rec_l)
+    rec_r = dict(rec_r)
 
-    lens_l, ops_l = cg.parse(record_l['CIGAR'])
-    lens_r, ops_r = cg.parse(record_r['CIGAR'])
+    if in_query:
+        if rec_l['QRY_POS'] < rec_r['QRY_POS']:
+            budget = rec_l['QRY_END'] - rec_r['QRY_POS']
+        else:
+            budget = rec_r['QRY_END'] - rec_l['QRY_POS']
+        if budget <= 0:
+            raise ValueError(f'Cannot trim to negative distance {budget}')
+    else:
+        if rec_l['POS'] > rec_r['POS']:
+            raise ValueError('Records are incorrectly ordered in subject space')
+        budget = rec_l['END'] - rec_r['POS']
+        if budget <= 0:
+            raise ValueError(f'Cannot trim to negative distance {budget}')
 
-    if rev_l:
+    lens_l, ops_l = rec_l['cig']
+    lens_r, ops_r = rec_r['cig']
+    if back_l:
         lens_l, ops_l = lens_l[::-1], ops_l[::-1]
-    if rev_r:
+    if back_r:
         lens_r, ops_r = lens_r[::-1], ops_r[::-1]
 
-    if match_coord == 'query':
-        if record_l['QRY_POS'] < record_r['QRY_POS']:
-            diff_bp = record_l['QRY_END'] - record_r['QRY_POS']
-        else:
-            diff_bp = record_r['QRY_END'] - record_l['QRY_POS']
-        if diff_bp <= 0:
-            raise ValueError(f'Cannot trim to negative distance {diff_bp}')
-    else:
-        if record_l['POS'] > record_r['POS']:
-            raise ValueError('Records are incorrectly ordered in subject space')
-        diff_bp = record_l['END'] - record_r['POS']
-        if diff_bp <= 0:
-            raise ValueError(f'Cannot trim to negative distance {diff_bp}')
-
-    trace_l = trace_cigar_to_zero(lens_l, ops_l, diff_bp, match_coord == 'query')
-    trace_r = trace_cigar_to_zero(lens_r, ops_r, diff_bp, match_coord == 'query')
-
-    cut_idx_l, cut_idx_r = find_cut_sites(trace_l, trace_r, diff_bp)
-    if cut_idx_l is None or cut_idx_r is None:
+    cand_l = cut_candidates(lens_l, ops_l, budget, in_query)
+    cand_r = cut_candidates(lens_r, ops_r, budget, in_query)
+    li, ri = select_cut_pair(cand_l, cand_r, budget)
+    if li is None or ri is None:
         raise RuntimeError('Program bug: found no cut-sites')
 
-    cut_l = trace_l[cut_idx_l]
-    cut_r = trace_r[cut_idx_r]
+    residual = budget - int(cand_l.spent[li] + cand_r.spent[ri])
+    shave_l, shave_r = _shave_cut_runs(cand_l, li, cand_r, ri, residual)
 
-    # Mid-record cuts, left-aligned with mismatch ops consumed first
-    # (reference: trim.py:477-495).
-    residual_bp = diff_bp - (cut_l[TC_DIFF_CUM] + cut_r[TC_DIFF_CUM])
-    trim_l = 0
-    trim_r = 0
+    for rec, cand, row, shave, back, lens_w, ops_w in (
+            (rec_l, cand_l, li, shave_l, back_l, lens_l, ops_l),
+            (rec_r, cand_r, ri, shave_r, back_r, lens_r, ops_r)):
+        cut_ref = int(cand.ref_bp[row]) + shave
+        cut_qry = int(cand.qry_bp[row]) + shave
 
-    if residual_bp > 0 and cut_r[TC_OP_CODE] == cg.X:
-        trim_r += min(residual_bp, cut_r[TC_OP_LEN] - 1)
-        residual_bp -= trim_r
-    if residual_bp > 0 and cut_l[TC_OP_CODE] == cg.X:
-        trim_l += min(residual_bp, cut_l[TC_OP_LEN] - 1)
-        residual_bp -= trim_l
-    if residual_bp > 0 and cut_l[TC_OP_CODE] == cg.EQ:
-        trim_l += min(residual_bp, cut_l[TC_OP_LEN] - 1)
-        residual_bp -= trim_l
-    if residual_bp > 0 and cut_r[TC_OP_CODE] == cg.EQ:
-        trim_r += min(residual_bp, cut_r[TC_OP_LEN] - 1)
-        residual_bp -= trim_r
-
-    lens_l_mod = lens_l[cut_l[TC_INDEX]:].copy()
-    ops_l_mod = ops_l[cut_l[TC_INDEX]:].copy()
-    lens_r_mod = lens_r[cut_r[TC_INDEX]:].copy()
-    ops_r_mod = ops_r[cut_r[TC_INDEX]:].copy()
-
-    lens_l_mod[0] -= trim_l
-    lens_r_mod[0] -= trim_r
-
-    cut_sub_l = cut_l[TC_SUB_BP] + trim_l
-    cut_qry_l = cut_l[TC_QRY_BP] + trim_l
-    cut_sub_r = cut_r[TC_SUB_BP] + trim_r
-    cut_qry_r = cut_r[TC_QRY_BP] + trim_r
-
-    for record, rev, cut_sub, cut_qry in (
-            (record_l, rev_l, cut_sub_l, cut_qry_l),
-            (record_r, rev_r, cut_sub_r, cut_qry_r)):
-        if rev:
-            record['END'] -= cut_sub
-            if record['REV']:
-                record['QRY_POS'] += cut_qry
+        if back:
+            rec['END'] -= cut_ref
+            if rec['REV']:
+                rec['QRY_POS'] += cut_qry
             else:
-                record['QRY_END'] -= cut_qry
-            record['TRIM_REF_R'] += cut_sub
-            record['TRIM_QRY_R'] += cut_qry
+                rec['QRY_END'] -= cut_qry
+            rec['TRIM_REF_R'] += cut_ref
+            rec['TRIM_QRY_R'] += cut_qry
         else:
-            record['POS'] += cut_sub
-            if record['REV']:
-                record['QRY_END'] -= cut_qry
+            rec['POS'] += cut_ref
+            if rec['REV']:
+                rec['QRY_END'] -= cut_qry
             else:
-                record['QRY_POS'] += cut_qry
-            record['TRIM_REF_L'] += cut_sub
-            record['TRIM_QRY_L'] += cut_qry
+                rec['QRY_POS'] += cut_qry
+            rec['TRIM_REF_L'] += cut_ref
+            rec['TRIM_QRY_L'] += cut_qry
 
-    # Rebuild CIGARs with clip runs covering everything removed.
-    def rebuild(lens_mod, ops_mod, cut, trim, rev):
+        # Rebuild the CIGAR: clip runs cover everything removed.
+        keep_i = int(cand.run_i[row])
+        lens_new = lens_w[keep_i:].astype(np.int32, copy=True)
+        ops_new = ops_w[keep_i:].astype(np.int8, copy=True)
+        lens_new[0] -= shave
         pre_lens, pre_ops = [], []
-        if cut[TC_CLIPH_BP] > 0:
-            pre_lens.append(cut[TC_CLIPH_BP]); pre_ops.append(cg.H)
-        clip_s = cut[TC_CLIPS_BP] + cut[TC_QRY_BP] + trim
-        if clip_s > 0:
-            pre_lens.append(clip_s); pre_ops.append(cg.S)
-        lens_new = np.concatenate([np.array(pre_lens, dtype=np.int32), lens_mod])
-        ops_new = np.concatenate([np.array(pre_ops, dtype=np.int8), ops_mod])
-        if rev:
+        if cand.hclip[row] > 0:
+            pre_lens.append(int(cand.hclip[row])); pre_ops.append(cg.H)
+        soft = int(cand.sclip[row]) + cut_qry
+        if soft > 0:
+            pre_lens.append(soft); pre_ops.append(cg.S)
+        lens_new = np.concatenate(
+            [np.array(pre_lens, dtype=np.int32), lens_new])
+        ops_new = np.concatenate([np.array(pre_ops, dtype=np.int8), ops_new])
+        if back:
             lens_new, ops_new = lens_new[::-1], ops_new[::-1]
-        return cg.to_string(lens_new, ops_new)
+        rec['cig'] = (lens_new, ops_new)
 
-    record_l['CIGAR'] = rebuild(lens_l_mod, ops_l_mod, cut_l, trim_l, rev_l)
-    record_r['CIGAR'] = rebuild(lens_r_mod, ops_r_mod, cut_r, trim_r, rev_r)
+    return rec_l, rec_r
 
-    return record_l, record_r
+
+# ------------------------------------------------------------------- driver
+
+
+_INT_COLS = ('POS', 'END', 'QRY_POS', 'QRY_END', 'QRY_LEN', 'INDEX',
+             'TRIM_REF_L', 'TRIM_REF_R', 'TRIM_QRY_L', 'TRIM_QRY_R')
+
+
+def _records_from_df(df):
+    """DataFrame -> list of plain dicts with parsed CIGAR arrays (the pair
+    passes run on Python scalars + numpy runs; no pandas scalar access)."""
+    cols = {c: df[c].to_numpy() for c in df.columns}
+    recs = []
+    for i in range(df.shape[0]):
+        rec = {}
+        for c, arr in cols.items():
+            if c == 'CIGAR':
+                continue
+            v = arr[i]
+            rec[c] = int(v) if c in _INT_COLS else (
+                bool(v) if c == 'REV' else v)
+        rec['cig'] = cg.parse(cols['CIGAR'][i])
+        recs.append(rec)
+    return recs
+
+
+def _df_from_records(recs, columns):
+    rows = []
+    for rec in recs:
+        rec = dict(rec)
+        lens, ops = rec.pop('cig')
+        rec['CIGAR'] = cg.to_string(lens, ops)
+        rows.append(rec)
+    return pd.DataFrame(rows, columns=list(columns))
 
 
 def trim_alignments(df, min_trim_tig_len, qry_fai, match_tig=False, mode='both'):
@@ -275,81 +297,79 @@ def trim_alignments(df, min_trim_tig_len, qry_fai, match_tig=False, mode='both')
     mode = (mode or 'both').lower()
     if mode not in ('tig', 'ref', 'both'):
         raise ValueError(f'Unrecognized trimming mode: {mode}')
-    do_tig = mode in ('tig', 'both')
-    do_ref = mode in ('ref', 'both')
 
     df = df.copy()
     for col in ('TRIM_REF_L', 'TRIM_REF_R', 'TRIM_QRY_L', 'TRIM_QRY_R'):
         if col not in df.columns:
             df[col] = 0
+    columns = df.columns
 
     # Remove short alignments up front.
-    df.loc[(df['QRY_END'] - df['QRY_POS']) < min_trim_tig_len, 'INDEX'] = -1
-    df = df.loc[df['INDEX'] >= 0].copy()
+    df = df.loc[(df['QRY_END'] - df['QRY_POS']) >= min_trim_tig_len]
+    recs = _records_from_df(df)
 
-    if do_tig:
-        df = df.sort_values(['QRY_ID', 'QRY_LEN'], ascending=(True, False),
-                            kind='stable').reset_index(drop=True)
-        df = _trim_pass_query(df, min_trim_tig_len)
-        df = df.loc[df['INDEX'] >= 0].copy()
+    if mode in ('tig', 'both'):
+        recs.sort(key=lambda r: (r['QRY_ID'], -r['QRY_LEN']))
+        recs = _trim_pass_query(recs, min_trim_tig_len)
+        recs = [r for r in recs if r['INDEX'] >= 0]
 
-    if do_ref:
-        span = (df['END'] - df['POS']).to_numpy()
-        order = np.lexsort((-span, df['#CHROM'].to_numpy()))
-        df = df.iloc[order].reset_index(drop=True)
-        df = _trim_pass_ref(df, min_trim_tig_len, match_tig)
-        df = df.loc[df['INDEX'] >= 0].copy()
+    if mode in ('ref', 'both'):
+        recs.sort(key=lambda r: (r['#CHROM'], r['POS'] - r['END']))
+        recs = _trim_pass_ref(recs, min_trim_tig_len, match_tig)
+        recs = [r for r in recs if r['INDEX'] >= 0]
 
-    df = df.loc[(df['END'] - df['POS']) > 0]
-    df = df.loc[(df['QRY_END'] - df['QRY_POS']) > 0]
+    recs = [r for r in recs
+            if r['END'] - r['POS'] > 0 and r['QRY_END'] - r['QRY_POS'] > 0]
+    df = _df_from_records(recs, columns)
     df = sort_align_table(df)
     check_table(df, qry_fai)
     return df
 
 
-def _trim_pass_query(df, min_trim_tig_len):
+def _trim_pass_query(recs, min_trim_tig_len):
     """Query-space pairwise overlap resolution (reference: trim.py:71-248)."""
-    index_max = df.shape[0]
+    index_max = len(recs)
     il = 0
     while il < index_max:
         ir = il + 1
-        while ir < index_max and df.loc[il, 'QRY_ID'] == df.loc[ir, 'QRY_ID']:
-            if df.loc[il, 'QRY_POS'] <= df.loc[ir, 'QRY_POS']:
+        while ir < index_max and recs[il]['QRY_ID'] == recs[ir]['QRY_ID']:
+            if recs[il]['QRY_POS'] <= recs[ir]['QRY_POS']:
                 index_l, index_r = il, ir
             else:
                 index_l, index_r = ir, il
+            rl, rr = recs[index_l], recs[index_r]
 
-            if df.loc[index_l, 'INDEX'] < 0 or df.loc[index_r, 'INDEX'] < 0:
+            if rl['INDEX'] < 0 or rr['INDEX'] < 0:
                 ir += 1
                 continue
-            if df.loc[index_r, 'QRY_POS'] >= df.loc[index_l, 'QRY_END']:
+            if rr['QRY_POS'] >= rl['QRY_END']:
                 ir += 1
                 continue
-            if df.loc[index_r, 'QRY_END'] <= df.loc[index_l, 'QRY_END']:
-                df.loc[index_r, 'INDEX'] = -1  # contained
+            if rr['QRY_END'] <= rl['QRY_END']:
+                rr['INDEX'] = -1  # contained
                 ir += 1
                 continue
 
-            rev_l = not df.loc[index_l, 'REV']  # trim right end of l
-            rev_r = bool(df.loc[index_r, 'REV'])  # trim left end of r
+            back_l = not rl['REV']  # trim right end of l
+            back_r = rr['REV']      # trim left end of r
 
             # Reference-space overlap between the two records?
-            if rev_l == rev_r or df.loc[index_l, '#CHROM'] != df.loc[index_r, '#CHROM']:
+            if back_l == back_r or rl['#CHROM'] != rr['#CHROM']:
                 ref_overlap = False
-            elif df.loc[index_l, 'POS'] < df.loc[index_r, 'POS']:
-                ref_overlap = df.loc[index_r, 'POS'] < df.loc[index_l, 'END']
-            elif df.loc[index_r, 'POS'] < df.loc[index_l, 'POS']:
-                ref_overlap = df.loc[index_l, 'POS'] < df.loc[index_r, 'END']
+            elif rl['POS'] < rr['POS']:
+                ref_overlap = rr['POS'] < rl['END']
+            elif rr['POS'] < rl['POS']:
+                ref_overlap = rl['POS'] < rr['END']
             else:
                 ref_overlap = False
 
             if ref_overlap:
                 # Same-orientation reference overlap: try both trim orders and
                 # keep the better left-aligned outcome (reference: trim.py:130-197).
-                rec_l_a, rec_r_a = trim_alignment_record(
-                    df.loc[index_l], df.loc[index_r], 'query', rev_l=rev_l, rev_r=rev_r)
-                rec_l_b, rec_r_b = trim_alignment_record(
-                    df.loc[index_r], df.loc[index_l], 'query', rev_l=rev_r, rev_r=rev_l)
+                rec_l_a, rec_r_a = trim_record_pair(
+                    rl, rr, True, back_l=back_l, back_r=back_r)
+                rec_l_b, rec_r_b = trim_record_pair(
+                    rr, rl, True, back_l=back_r, back_r=back_l)
 
                 keep = None
                 rm_l_a = rec_l_a['QRY_END'] - rec_l_a['QRY_POS'] < min_trim_tig_len
@@ -381,67 +401,65 @@ def _trim_pass_query(df, min_trim_tig_len):
             else:
                 # Swap so the upstream-aligned end is trimmed preferentially
                 # (left-aligns around large SVs; reference: trim.py:199-228).
-                if (df.loc[index_l, '#CHROM'] == df.loc[index_r, '#CHROM']
-                        and rev_l != rev_r):
-                    trim_pos_l = (df.loc[index_l, 'END'] if not df.loc[index_l, 'REV']
-                                  else df.loc[index_l, 'POS'])
-                    trim_pos_r = (df.loc[index_r, 'POS'] if not df.loc[index_r, 'REV']
-                                  else df.loc[index_r, 'END'])
+                if rl['#CHROM'] == rr['#CHROM'] and back_l != back_r:
+                    trim_pos_l = rl['END'] if not rl['REV'] else rl['POS']
+                    trim_pos_r = rr['POS'] if not rr['REV'] else rr['END']
                     if trim_pos_r < trim_pos_l:
-                        rev_l, rev_r = rev_r, rev_l
+                        back_l, back_r = back_r, back_l
                         index_l, index_r = index_r, index_l
+                        rl, rr = recs[index_l], recs[index_r]
 
-                record_l, record_r = trim_alignment_record(
-                    df.loc[index_l], df.loc[index_r], 'query', rev_l=rev_l, rev_r=rev_r)
+                record_l, record_r = trim_record_pair(
+                    rl, rr, True, back_l=back_l, back_r=back_r)
 
             if record_l['QRY_END'] - record_l['QRY_POS'] >= min_trim_tig_len:
-                df.loc[index_l] = record_l
+                recs[index_l] = record_l
             else:
-                df.loc[index_l, 'INDEX'] = -1
+                rl['INDEX'] = -1
             if record_r['QRY_END'] - record_r['QRY_POS'] >= min_trim_tig_len:
-                df.loc[index_r] = record_r
+                recs[index_r] = record_r
             else:
-                df.loc[index_r, 'INDEX'] = -1
+                rr['INDEX'] = -1
 
             ir += 1
         il += 1
-    return df
+    return recs
 
 
-def _trim_pass_ref(df, min_trim_tig_len, match_tig):
+def _trim_pass_ref(recs, min_trim_tig_len, match_tig):
     """Reference-space pairwise overlap resolution (reference: trim.py:256-331)."""
-    index_max = df.shape[0]
+    index_max = len(recs)
     il = 0
     while il < index_max:
         ir = il + 1
-        while ir < index_max and df.loc[il, '#CHROM'] == df.loc[ir, '#CHROM']:
-            if df.loc[il, 'INDEX'] < 0 or df.loc[ir, 'INDEX'] < 0:
+        while ir < index_max and recs[il]['#CHROM'] == recs[ir]['#CHROM']:
+            rl, rr = recs[il], recs[ir]
+            if rl['INDEX'] < 0 or rr['INDEX'] < 0:
                 ir += 1
                 continue
-            if match_tig and df.loc[il, 'QRY_ID'] != df.loc[ir, 'QRY_ID']:
+            if match_tig and rl['QRY_ID'] != rr['QRY_ID']:
                 ir += 1
                 continue
 
-            if df.loc[il, 'POS'] <= df.loc[ir, 'POS']:
+            if rl['POS'] <= rr['POS']:
                 index_l, index_r = il, ir
             else:
                 index_l, index_r = ir, il
+                rl, rr = recs[index_l], recs[index_r]
 
-            if df.loc[index_r, 'POS'] < df.loc[index_l, 'END']:
-                if df.loc[index_r, 'END'] <= df.loc[index_l, 'END']:
-                    df.loc[index_r, 'INDEX'] = -1  # contained
+            if rr['POS'] < rl['END']:
+                if rr['END'] <= rl['END']:
+                    rr['INDEX'] = -1  # contained
                 else:
-                    record_l, record_r = trim_alignment_record(
-                        df.loc[index_l], df.loc[index_r], 'subject')
-                    if record_l is not None and record_r is not None:
-                        if record_l['QRY_END'] - record_l['QRY_POS'] >= min_trim_tig_len:
-                            df.loc[index_l] = record_l
-                        else:
-                            df.loc[index_l, 'INDEX'] = -1
-                        if record_r['QRY_END'] - record_r['QRY_POS'] >= min_trim_tig_len:
-                            df.loc[index_r] = record_r
-                        else:
-                            df.loc[index_r, 'INDEX'] = -1
+                    record_l, record_r = trim_record_pair(rl, rr, False)
+                    if record_l['QRY_END'] - record_l['QRY_POS'] >= min_trim_tig_len:
+                        recs[index_l] = record_l
+                    else:
+                        rl['INDEX'] = -1
+                    if record_r['QRY_END'] - record_r['QRY_POS'] >= min_trim_tig_len:
+                        recs[index_r] = record_r
+                    else:
+                        rr['INDEX'] = -1
             ir += 1
         il += 1
-    return df
+    return recs

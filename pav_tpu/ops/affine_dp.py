@@ -421,9 +421,13 @@ class BandedAligner:
                 backend_kind=_pallas_backend_kind())
 
         def resolve():
-            pk = np.asarray(packed[:B])
-            pl = np.asarray(path_len[:B])
-            er = np.asarray(err[:B])
+            # Transfer the full padded arrays and slice on host: device-side
+            # `arr[:B]` with a free-varying B compiles a fresh XLA slice
+            # program per distinct B (observed 0.4s/compile dominating the
+            # align stage). Padding rows are bounded (<= 4x) and cheap to move.
+            pk = np.asarray(packed)[:B]
+            pl = np.asarray(path_len)[:B]
+            er = np.asarray(err)[:B]
             if er.any() and width >= max_n + 1:
                 raise RuntimeError('Traceback failed at full width (program bug)')
             # Band-too-narrow items resolve to None; the caller re-runs just

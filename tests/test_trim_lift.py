@@ -9,7 +9,7 @@ from pav_tpu.align import cigar as cg
 from pav_tpu.align.aligner import Aligner
 from pav_tpu.align.lift import AlignLift
 from pav_tpu.align.table import check_table, finalize_align_table
-from pav_tpu.align.trim import trim_alignments, trace_cigar_to_zero
+from pav_tpu.align.trim import trim_alignments, cut_candidates
 from pav_tpu.io.fasta import SeqStore
 from pav_tpu.regions import Region
 
@@ -82,15 +82,13 @@ def test_trim_drops_contained():
     assert out.iloc[0]['INDEX'] == 0
 
 
-def test_trace_cigar_to_zero():
+def test_cut_candidates():
     lens, ops = cg.parse('100=10X5I20=3D50=')
-    trace = trace_cigar_to_zero(lens, ops, 110, True)
-    # Trace records only =/X ops; runs until cumulative diff > diff_bp ending on '='.
-    op_codes = [t[2] for t in trace]
-    assert all(o in (cg.EQ, cg.X) for o in op_codes)
-    assert trace[0][3] == 0                     # cumulative diff before first op
-    assert trace[1][3] == 100                   # after 100=
-    assert trace[-1][2] == cg.EQ
+    cand = cut_candidates(lens, ops, 110, True)
+    # Candidates cover only =/X runs, until cumulative cut > budget ending on '='.
+    assert cand.spent[0] == 0                   # cut bases before first run
+    assert cand.spent[1] == 100                 # after 100=
+    assert not cand.mism[-1]                    # walk ends on a '=' run
 
 
 def _lift_table():

@@ -567,8 +567,17 @@ class Aligner:
                 launches.append((chunk, pairs, handle))
 
         retry = []
-        for chunk, pairs, handle in launches:
-            results = handle()
+        # Resolve launches on a small thread pool: each resolve blocks on a
+        # device->host read whose cost is dominated by link round-trip
+        # latency, so overlapping them recovers ~Nx (results are applied in
+        # launch order — deterministic regardless of completion order).
+        if len(launches) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                all_results = list(pool.map(lambda lh: lh[2](), launches))
+        else:
+            all_results = [handle() for _, _, handle in launches]
+        for (chunk, pairs, handle), results in zip(launches, all_results):
             for i, res in zip(chunk, results):
                 if res is None:
                     retry.append(i)

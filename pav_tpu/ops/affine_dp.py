@@ -320,7 +320,14 @@ def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1,
         return packed, path_len, err
 
     packed, path_len, err = jax.vmap(one)(tb, offs, q, r, m, n)
-    return packed, path_len, err
+    # Fuse the three outputs into ONE uint8 buffer per launch: on
+    # latency-bound links every separate device->host read costs a full
+    # round trip (~25ms observed), so the tape, the path length (4 LE bytes)
+    # and the error flag travel together.
+    pl_bytes = jnp.stack([(path_len >> (8 * i)).astype(jnp.uint8)
+                          for i in range(4)], axis=1)
+    return jnp.concatenate(
+        [packed, pl_bytes, err.astype(jnp.uint8)[:, None]], axis=1)
 
 
 class BandedAligner:
@@ -402,7 +409,7 @@ class BandedAligner:
         if jax.default_backend() != 'cpu':
             qp, qa = _pack_codes(qpad)
             rp, ra = _pack_codes(rpad)
-            packed, path_len, err = _align_and_trace_packed(
+            fused = _align_and_trace_packed(
                 self._put(qp), self._put(qa), self._put(rp), self._put(ra),
                 self._put(m_p), self._put(n_p),
                 max_m, max_n, int(width),
@@ -411,7 +418,7 @@ class BandedAligner:
                 int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
                 backend_kind=_pallas_backend_kind())
         else:
-            packed, path_len, err = _align_and_trace(
+            fused = _align_and_trace(
                 self._put(qpad), self._put(rpad),
                 self._put(m_p), self._put(n_p),
                 max_m, int(width),
@@ -421,13 +428,16 @@ class BandedAligner:
                 backend_kind=_pallas_backend_kind())
 
         def resolve():
-            # Transfer the full padded arrays and slice on host: device-side
-            # `arr[:B]` with a free-varying B compiles a fresh XLA slice
-            # program per distinct B (observed 0.4s/compile dominating the
-            # align stage). Padding rows are bounded (<= 4x) and cheap to move.
-            pk = np.asarray(packed)[:B]
-            pl = np.asarray(path_len)[:B]
-            er = np.asarray(err)[:B]
+            # One transfer per launch; slice on host. (Device-side `arr[:B]`
+            # with a free-varying B compiles a fresh XLA slice program per
+            # distinct B — observed 0.4s/compile dominating the align stage —
+            # and each extra device->host read costs a ~25ms round trip.)
+            buf = np.asarray(fused)
+            pk = buf[:B, :-5]
+            pl = buf[:B, -5:-1].astype(np.int32) << np.arange(
+                4, dtype=np.int32) * 8
+            pl = pl.sum(axis=1)
+            er = buf[:B, -1]
             if er.any() and width >= max_n + 1:
                 raise RuntimeError('Traceback failed at full width (program bug)')
             # Band-too-narrow items resolve to None; the caller re-runs just

@@ -546,24 +546,35 @@ class Aligner:
         # Two-phase: dispatch every bucket to the device first, then collect —
         # transfers overlap compute and each other (async dispatch). Batch size
         # is FIXED per size class so each class compiles exactly one program.
+        # Batch padding policy per backend. Accelerators: ONE fixed batch per
+        # shape class — every launch runs one compiled program (primable ahead
+        # of time by runtime.prime_kernels); padding a part-full batch costs
+        # only trivial device compute, while a distinct smaller batch shape
+        # costs a fresh compile, which on a tunneled backend is seconds to
+        # minutes. CPU: compiles are local and fast but compute is not —
+        # quantize the batch down (pow4) to the workload instead.
+        import jax
+        fixed_batch = jax.default_backend() != 'cpu'
+
+        def batch_pad(batch, n_items):
+            if fixed_batch:
+                return batch
+            b_pad = 8
+            while b_pad < n_items:
+                b_pad *= 4
+            return min(batch, b_pad)
+
         launches = []
         for (m_b, n_b, width_b), idx_list in sorted(buckets.items()):
-            # Fixed batch per shape: every launch of a shape compiles exactly
-            # one program (primable ahead of time by runtime.prime_kernels),
-            # sized so in-flight DP state stays bounded (~128M cells).
+            # Batch cap per shape, sized so in-flight DP state stays bounded
+            # (~128M cells).
             batch = _shape_batch(m_b, width_b)
             for lo in range(0, len(idx_list), batch):
                 chunk = idx_list[lo:lo + batch]
                 pairs = [(segments[i].q, segments[i].r) for i in chunk]
-                # Full chunks land exactly on the primed fixed-batch program;
-                # small workloads quantize down (pow4) instead of paying the
-                # full batch's execution cost.
-                b_pad = 8
-                while b_pad < len(chunk):
-                    b_pad *= 4
                 handle = self.dp.align_batch_async(
                     pairs, width=width_b, pad_to=(m_b, n_b),
-                    pad_batch=min(batch, b_pad))
+                    pad_batch=batch_pad(batch, len(chunk)))
                 launches.append((chunk, pairs, handle))
 
         retry = []
@@ -584,11 +595,24 @@ class Aligner:
                 else:
                     segments[i].result = res
         if retry:
-            # Band-escaping paths (e.g. opposing gaps) re-run at full width.
-            pairs = [(segments[i].q, segments[i].r) for i in retry]
-            full_w = max(len(r) for _, r in pairs) + 1
-            for i, res in zip(retry, self.dp.align_batch(pairs, width=full_w)):
-                segments[i].result = res
+            # Band-escaping paths (e.g. opposing gaps) re-run at full width,
+            # grouped into the same canonical shape classes (width = n_b + 1)
+            # so retries never compile a fresh program.
+            regroup = collections.defaultdict(list)
+            for i in retry:
+                seg = segments[i]
+                m_b = _bucket_pow2(len(seg.q), lo=16)
+                n_b = _bucket_pow2(len(seg.r), lo=16)
+                regroup[(m_b, n_b)].append(i)
+            for (m_b, n_b), idx_list in sorted(regroup.items()):
+                batch = _shape_batch(m_b, n_b + 1)
+                for lo in range(0, len(idx_list), batch):
+                    chunk = idx_list[lo:lo + batch]
+                    pairs = [(segments[i].q, segments[i].r) for i in chunk]
+                    for i, res in zip(chunk, self.dp.align_batch(
+                            pairs, width=n_b + 1, pad_to=(m_b, n_b),
+                            pad_batch=batch_pad(batch, len(chunk)))):
+                        segments[i].result = res
 
         # Post-DP break detection: long segments that still aligned terribly.
         # Extension segments are exempt — their best-prefix trim already drops

@@ -158,6 +158,40 @@ def expand_input(path_spec, asm_name, hap, sample=None, parent=None, _depth=0):
     return files
 
 
+def load_filter_regions(path_spec, asm_name, hap):
+    """Load FILTER_<hap> BED file(s) — query-space regions whose variants get
+    FILTER=QRY_FILTER (reference: rules/call.snakefile:552-562, FILTER columns
+    pavlib/pipeline.py:160,602-638). #CHROM holds query/contig names.
+
+    :return: DataFrame ['#CHROM', 'POS', 'END'] or None when no filter input.
+    """
+    frames = []
+    for path in expand_input(path_spec, asm_name, hap):
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f'Filter BED not found for {asm_name}/{hap}: {path}')
+        if os.path.getsize(path) == 0:
+            continue
+        df = pd.read_csv(path, sep='\t', header=None, comment='#',
+                         usecols=(0, 1, 2))
+        df.columns = ['#CHROM', 'POS', 'END']
+        df['#CHROM'] = df['#CHROM'].astype(str)
+        frames.append(df)
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True)
+
+
+def get_filter_spec(asm_table, asm_name, hap):
+    """The FILTER_<hap> cell for an assembly, or None."""
+    col = f'FILTER_{hap}'
+    if col not in asm_table.columns:
+        return None
+    val = asm_table.loc[asm_name, col]
+    if val is None or (isinstance(val, float) and np.isnan(val)) or not str(val).strip():
+        return None
+    return str(val).strip()
+
+
 def load_haplotype_seqs(path_spec, asm_name, hap, seq_store_cls=None):
     """Load all sequences for one haplotype into a SeqStore. Missing/empty inputs
     produce an empty store (missing-haplotype convention)."""

@@ -25,7 +25,9 @@ from .align.aligner import Aligner
 from .align.lift import AlignLift
 from .align.table import depth_table, finalize_align_table
 from .align.trim import trim_alignments
-from .assembly_table import get_hap_list, load_haplotype_seqs, read_assembly_table, get_asm_config_override
+from .assembly_table import (get_filter_spec, get_hap_list, load_filter_regions,
+                             load_haplotype_seqs, read_assembly_table,
+                             get_asm_config_override)
 from .call import density as dens
 from .call import integrate, inv as inv_mod, inv_flag, largesv
 from .call.cigar_calls import make_insdel_snv_calls
@@ -125,8 +127,14 @@ class Pipeline:
             self.timings[(label, stage)] = round(_time.time() - t0, 3)
         return cm()
 
-    def run_haplotype(self, qry_store, hap, config=None, label=None):
-        """Run alignment through integration for one haplotype."""
+    def run_haplotype(self, qry_store, hap, config=None, label=None,
+                      qry_filter_df=None):
+        """Run alignment through integration for one haplotype.
+
+        :param qry_filter_df: Optional query-space filter regions
+            (['#CHROM','POS','END'], #CHROM = contig names); intersecting
+            variants get FILTER=QRY_FILTER (reference: pavlib/call.py:521-539).
+        """
         cfg = config or self.config
         res = HaplotypeResult()
         label = label or hap
@@ -226,7 +234,8 @@ class Pipeline:
         with self._timed(label, 'integrate'):
             res.integrated = integrate_sources(
                 res.df_insdel, res.df_snv, res.df_lg_ins, res.df_lg_del,
-                res.df_lg_inv, res.df_inv, res.depth_qry, cfg)
+                res.df_lg_inv, res.df_inv, res.depth_qry, cfg,
+                qry_filter_df=qry_filter_df)
 
         # Resolve redundant TRIM-failed calls (reference:
         # rules/call.snakefile:287-485): one representative per site in the
@@ -331,7 +340,7 @@ class Pipeline:
                 keep_default_na=False, na_values=['']))
         return res
 
-    def resume_haplotype(self, asm_name, hap, cfg):
+    def resume_haplotype(self, asm_name, hap, cfg, qry_filter_df=None):
         """Rebuild a HaplotypeResult from artifacts, recomputing only the cheap
         integration tail (filters/depth/redundancy are deterministic)."""
         res = self.load_hap_artifacts(asm_name, hap)
@@ -340,7 +349,8 @@ class Pipeline:
         from .call.redundancy import resolve_fail_redundancy
         res.integrated = integrate_sources(
             res.df_insdel, res.df_snv, res.df_lg_ins, res.df_lg_del,
-            res.df_lg_inv, res.df_inv, res.depth_qry, cfg)
+            res.df_lg_inv, res.df_inv, res.depth_qry, cfg,
+            qry_filter_df=qry_filter_df)
         res.fail_redundant = {}
         for varsvtype, (df_pass, df_fail) in list(res.integrated.items()):
             svtype = varsvtype.split('_')[1]
@@ -353,19 +363,24 @@ class Pipeline:
     # ------------------------------------------------------------- sample run
 
     def run_sample(self, asm_name, hap_inputs, config=None, write_vcf=True,
-                   resume=False):
+                   resume=False, qry_filters=None):
         """Run the full pipeline for one sample.
 
         :param hap_inputs: {hap: SeqStore or path-spec string}.
+        :param qry_filters: Optional {hap: filter-region DataFrame} — variants
+            intersecting these query-space regions get FILTER=QRY_FILTER
+            (reference: FILTER_* assembly-table columns, pavlib/call.py:521-539).
 
         :return: dict with per-hap results, merged tables, and the VCF path.
         """
         cfg = config or self.config
+        qry_filters = qry_filters or {}
         hap_results = {}
         to_run = []
         for hap, inp in hap_inputs.items():
             if resume:
-                loaded = self.resume_haplotype(asm_name, hap, cfg)
+                loaded = self.resume_haplotype(asm_name, hap, cfg,
+                                               qry_filter_df=qry_filters.get(hap))
                 if loaded is not None:
                     self._logmsg(f'{asm_name}/{hap}: resumed from artifacts')
                     hap_results[hap] = loaded
@@ -386,15 +401,17 @@ class Pipeline:
             with ThreadPoolExecutor(max_workers=min(len(to_run), 4)) as pool:
                 futures = {
                     hap: pool.submit(self.run_haplotype, store, hap, cfg,
-                                     f'{asm_name}/{hap}')
+                                     f'{asm_name}/{hap}',
+                                     qry_filter_df=qry_filters.get(hap))
                     for hap, store in to_run
                 }
                 for hap, fut in futures.items():
                     hap_results[hap] = fut.result()
         elif to_run:
             hap, store = to_run[0]
-            hap_results[hap] = self.run_haplotype(store, hap, cfg,
-                                                  label=f'{asm_name}/{hap}')
+            hap_results[hap] = self.run_haplotype(
+                store, hap, cfg, label=f'{asm_name}/{hap}',
+                qry_filter_df=qry_filters.get(hap))
 
         hap_list = list(hap_results.keys())
         merged = {}
@@ -488,6 +505,12 @@ def run(ref_path, asm_table_path, config=None, run_dir='pav_run', samples=None,
             local_cfg = override_config(cfg, get_asm_config_override(asm_table, asm_name))
             haps = get_hap_list(asm_table, asm_name)
             hap_inputs = {h: asm_table.loc[asm_name, f'HAP_{h}'] for h in haps}
+            qry_filters = {}
+            for h in haps:
+                spec = get_filter_spec(asm_table, asm_name, h)
+                if spec:
+                    qry_filters[h] = load_filter_regions(spec, asm_name, h)
             results[asm_name] = pipeline.run_sample(
-                asm_name, hap_inputs, config=local_cfg, resume=resume)
+                asm_name, hap_inputs, config=local_cfg, resume=resume,
+                qry_filters=qry_filters)
     return results

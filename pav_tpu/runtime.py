@@ -46,33 +46,40 @@ def enable_compile_cache(cache_dir=None):
         pass
 
 
-# The aligner's hot DP launches ((m_pad, n_pad), width, batch): rows and
+# The aligner's hot DP shape classes ((m_pad, n_pad), width): rows and
 # columns pad independently (large inter-anchor segments are nearly pure
-# indels), and batch quantizes pow4 capped at the shape's fixed chunk size.
-# This is the observed working set of human-like genome runs; unlisted
-# combinations still compile on demand (persistent cache makes each a
-# once-per-machine cost).
-_DP_LAUNCHES = [
-    ((16, 16), 17, 512), ((16, 16), 17, 4096),
-    ((16, 32), 33, 512), ((16, 32), 33, 2048),
-    ((32, 16), 17, 512), ((32, 16), 17, 2048),
-    ((16, 64), 65, 32), ((16, 64), 65, 512),
-    ((64, 16), 17, 32), ((64, 16), 17, 128),
-    ((16, 128), 129, 8), ((16, 128), 129, 32),
-    ((128, 16), 17, 8), ((128, 16), 17, 128),
-    ((16, 256), 257, 32), ((256, 16), 17, 32),
-    ((32, 32), 33, 8), ((32, 64), 65, 8),
-    ((64, 32), 33, 8), ((64, 64), 33, 8), ((64, 64), 65, 8),
+# indels). Each class runs at ONE fixed batch size (core._shape_batch), so
+# each entry below is exactly one compiled program. This is the observed
+# working set of human-like genome runs; unlisted combinations still compile
+# on demand (persistent cache makes each a once-per-machine cost).
+_DP_SHAPES = [
+    # Exactly the width classes reachable from the bucketing rules in
+    # core._run_segments for each (m_pad, n_pad) class (width is driven by
+    # |m-n|, whose range the class constrains).
+    ((16, 16), 17), ((16, 32), 33), ((32, 16), 17), ((32, 32), 33),
+    ((16, 64), 65), ((64, 16), 17), ((32, 64), 33), ((32, 64), 65),
+    ((64, 32), 33), ((64, 64), 33), ((64, 64), 65),
+    ((16, 128), 129), ((128, 16), 17), ((32, 128), 129), ((128, 32), 33),
+    ((64, 128), 33), ((64, 128), 65), ((64, 128), 129),
+    ((128, 64), 33), ((128, 64), 65),
+    ((128, 128), 33), ((128, 128), 65), ((128, 128), 129),
+    ((16, 256), 257), ((256, 16), 17), ((32, 256), 257), ((256, 32), 33),
+    ((64, 256), 257), ((256, 64), 65),
+    ((128, 256), 129), ((128, 256), 257), ((256, 128), 65), ((256, 128), 129),
+    ((256, 256), 129), ((256, 256), 257),
 ]
 
-_DP_LAUNCHES_LARGE = [
-    ((16, 512), 513, 32), ((16, 512), 513, 128),
-    ((512, 16), 17, 32), ((512, 16), 17, 512),
-    ((16, 1024), 1025, 128), ((16, 1024), 1025, 512),
-    ((1024, 16), 17, 32), ((1024, 16), 17, 128), ((1024, 16), 17, 512),
-    ((16, 2048), 2049, 32), ((16, 2048), 2049, 128), ((16, 2048), 2049, 512),
-    ((2048, 16), 17, 32), ((2048, 16), 17, 128), ((2048, 16), 17, 512),
-    ((32, 2048), 2049, 8),
+_DP_SHAPES_LARGE = [
+    ((16, 512), 513), ((512, 16), 17),
+    ((16, 1024), 1025), ((1024, 16), 17),
+    ((16, 2048), 2049), ((2048, 16), 17),
+    ((32, 512), 513), ((512, 32), 33),
+    ((32, 1024), 1025), ((1024, 32), 33),
+    ((32, 2048), 2049), ((2048, 32), 33),
+    ((64, 512), 513), ((512, 64), 65),
+    ((128, 512), 513), ((512, 128), 129),
+    ((256, 512), 257), ((256, 512), 513), ((512, 256), 257),
+    ((512, 512), 257), ((512, 512), 513),
 ]
 
 
@@ -81,20 +88,22 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
     """Pre-compile the engine's canonical kernel shapes so data-dependent work
     never stalls on a compile (compiles are expensive on tunneled backends,
     and one cold genome run touches ~30 DP programs)."""
+    from .align.aligner.core import _shape_batch
     from .ops import affine_dp, kde
 
     dp = affine_dp.BandedAligner()
     rng = np.random.default_rng(0)
 
-    launches = list(_DP_LAUNCHES)
+    launches = list(_DP_SHAPES)
     if 'large' in sizes:
-        launches += _DP_LAUNCHES_LARGE
+        launches += _DP_SHAPES_LARGE
     handles = []
-    for (m_b, n_b), width_b, batch in launches:
+    for (m_b, n_b), width_b in launches:
         q = rng.integers(0, 4, max(m_b // 2, 1)).astype(np.uint8)
         r = rng.integers(0, 4, max(n_b // 2, 1)).astype(np.uint8)
         handles.append(dp.align_batch_async(
-            [(q, r)], width=width_b, pad_to=(m_b, n_b), pad_batch=batch))
+            [(q, r)], width=width_b, pad_to=(m_b, n_b),
+            pad_batch=_shape_batch(m_b, width_b)))
     for h in handles:
         h()
 

@@ -414,16 +414,7 @@ class Pipeline:
                 qry_filter_df=qry_filters.get(hap))
 
         hap_list = list(hap_results.keys())
-        merged = {}
-        for varsvtype in ('svindel_ins', 'svindel_del', 'sv_inv', 'snv_snv'):
-            svtype = varsvtype.split('_')[1]
-            strategy = get_merge_params(svtype, cfg)
-            for tier_i, tier in enumerate(('pass', 'fail')):
-                bed_list = [hap_results[h].integrated[varsvtype][tier_i] for h in hap_list]
-                callable_list = [hap_results[h].callable for h in hap_list]
-                self._logmsg(f'{asm_name}: merging {varsvtype} [{tier}] across {hap_list}')
-                merged[(varsvtype, tier)] = merge_haplotypes(
-                    bed_list, callable_list, hap_list, strategy)
+        merged = self._merge_all(asm_name, hap_results, hap_list, cfg)
 
         vcf_path = None
         if write_vcf:
@@ -440,6 +431,64 @@ class Pipeline:
             self._write_artifacts(asm_name, hap_results, merged)
 
         return {'haps': hap_results, 'merged': merged, 'vcf': vcf_path}
+
+    def _merge_all(self, asm_name, hap_results, hap_list, cfg):
+        """Diploid merge of every (varsvtype, tier), sharded by length-balanced
+        chromosome batches (reference: rules/call.snakefile:856-905 packs
+        chromosomes into MERGE_BATCH_COUNT bins and merges each as an
+        independent job; here each bin is a thread-pool task)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .call.batching import merge_batch_table
+
+        batch_df = merge_batch_table(dict(self.ref_store.fai()))
+        chrom_batches = [
+            set(batch_df.index[batch_df['BATCH'] == b])
+            for b in sorted(batch_df['BATCH'].unique())
+        ]
+
+        jobs = []  # (key, bed_list, callable_list, strategy)
+        for varsvtype in ('svindel_ins', 'svindel_del', 'sv_inv', 'snv_snv'):
+            svtype = varsvtype.split('_')[1]
+            strategy = get_merge_params(svtype, cfg)
+            for tier_i, tier in enumerate(('pass', 'fail')):
+                bed_list = [hap_results[h].integrated[varsvtype][tier_i] for h in hap_list]
+                callable_list = [hap_results[h].callable for h in hap_list]
+                jobs.append(((varsvtype, tier), bed_list, callable_list, strategy))
+
+        def run_job(bed_list, callable_list, strategy):
+            # Only shard over batches whose chromosomes actually hold calls;
+            # per-chromosome merges are independent (matching never crosses
+            # chromosomes), so concat+sort reproduces the unsharded result.
+            present = set()
+            for bed in bed_list:
+                if bed is not None and bed.shape[0]:
+                    present.update(bed['#CHROM'].unique())
+            active = [cb & present for cb in chrom_batches if cb & present]
+            if len(active) <= 1:
+                return merge_haplotypes(bed_list, callable_list, hap_list, strategy)
+            parts = [
+                merge_haplotypes(bed_list, callable_list, hap_list, strategy,
+                                 subset_chrom=chroms)
+                for chroms in active
+            ]
+            out = pd.concat(parts, axis=0)
+            out = out.sort_values(['#CHROM', 'POS', 'END', 'ID'])
+            out.index.name = 'INDEX'
+            return out
+
+        merged = {}
+        self._logmsg(
+            f'{asm_name}: merging {len(jobs)} callset tiers across {hap_list} '
+            f'({len(chrom_batches)} chromosome batches)')
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = {
+                key: pool.submit(run_job, bed_list, callable_list, strategy)
+                for key, bed_list, callable_list, strategy in jobs
+            }
+            for key, fut in futures.items():
+                merged[key] = fut.result()
+        return merged
 
     def _write_artifacts(self, asm_name, hap_results, merged):
         base = os.path.join(self.run_dir, asm_name)

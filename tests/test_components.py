@@ -198,6 +198,54 @@ def test_merge_batch_table():
     assert sizes.max() / sizes.min() < 1.5  # balanced bins
 
 
+def test_merge_sharded_by_chrom_batches():
+    """Chromosome-batched merge (pipeline._merge_all sharding) reproduces the
+    unsharded merge exactly: per-chromosome merges are independent, so
+    concat+sort over batches equals one full merge."""
+    rng = np.random.default_rng(5)
+    chroms = [f'chr{i}' for i in range(6)]
+
+    def hap_calls(seed):
+        r = np.random.default_rng(seed)
+        rows = []
+        for chrom in chroms:
+            for _ in range(8):
+                pos = int(r.integers(0, 50000))
+                ln = int(r.integers(50, 400))
+                svtype = 'INS' if r.random() < 0.5 else 'DEL'
+                end = pos + 1 if svtype == 'INS' else pos + ln
+                rows.append(_var(chrom, pos, end, f'{chrom}-{pos + 1}-{svtype}-{ln}',
+                                 svtype, ln, 'ACGT' * (ln // 4 + 1)))
+        return pd.DataFrame(rows).drop_duplicates('ID')
+
+    h1 = hap_calls(101)
+    # h2 shares some of h1's calls jittered (to exercise merging) plus its own.
+    h2 = pd.concat([hap_calls(202), h1.sample(10, random_state=3).assign(
+        POS=lambda d: d['POS'] + 20, END=lambda d: d['END'] + 20,
+        ID=lambda d: d['ID'] + '-b')]).drop_duplicates('ID')
+
+    callable_df = pd.DataFrame({
+        '#CHROM': chroms, 'POS': [0] * 6, 'END': [60000] * 6})
+    strategy = 'nr::ro(0.5):szro(0.5,200,2):match'
+
+    full = merge_haplotypes([h1, h2], [callable_df, callable_df], ['h1', 'h2'],
+                            strategy)
+
+    batch_df = merge_batch_table({c: 60000 - i for i, c in enumerate(chroms)},
+                                 batch_count=3)
+    parts = []
+    for b in sorted(batch_df['BATCH'].unique()):
+        sub = set(batch_df.index[batch_df['BATCH'] == b])
+        parts.append(merge_haplotypes([h1, h2], [callable_df, callable_df],
+                                      ['h1', 'h2'], strategy, subset_chrom=sub))
+    sharded = pd.concat(parts).sort_values(['#CHROM', 'POS', 'END', 'ID'])
+
+    assert full.shape[0] == sharded.shape[0] > 40
+    for col in full.columns:
+        assert (full[col].astype(str).to_numpy()
+                == sharded[col].astype(str).to_numpy()).all(), f'col {col}'
+
+
 def test_annotate_depth_spanning():
     df_depth = pd.DataFrame({
         '#CHROM': ['c'] * 3, 'POS': [0, 100, 200], 'END': [100, 200, 300],

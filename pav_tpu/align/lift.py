@@ -79,11 +79,12 @@ class _RecordLift:
 class AlignLift:
     """Liftover across an alignment table (post-trim)."""
 
-    def __init__(self, df, qry_fai, cache_align=None):
+    def __init__(self, df, qry_fai, cache_align=None, strict_parity=False):
         if len(set(df.index)) != df.shape[0]:
             raise ValueError('Cannot create AlignLift with duplicate index values')
         self.df = df
         self.qry_fai = qry_fai
+        self.strict_parity = strict_parity
         self._record_cache = {}
 
         # Chromosome-level span arrays.
@@ -204,6 +205,26 @@ class AlignLift:
         if pos is None:
             return None
         sub = self.df.loc[self.df['QRY_ID'] == query_id]
+        if self.strict_parity:
+            # Reproduce the reference exactly (lift.py:350-378): strict < on
+            # the left flank, and interpolated positions/bounds in QUERY
+            # coordinates returned as the subject position (apparent reference
+            # bug, kept verbatim for output parity).
+            left = sub.loc[sub['QRY_END'] < pos]
+            right = sub.loc[sub['QRY_POS'] > pos]
+            if left.shape[0] == 0 or right.shape[0] == 0:
+                return None
+            row_l = left.loc[left['QRY_END'].idxmax()]
+            row_r = right.loc[right['QRY_POS'].idxmin()]
+            if row_l['#CHROM'] != row_r['#CHROM']:
+                return None
+            return (
+                row_l['#CHROM'],
+                int((row_l['QRY_END'] + row_r['QRY_POS']) / 2),
+                row_l['REV'] if row_l['REV'] == row_r['REV'] else None,
+                row_l['QRY_END'], row_r['QRY_POS'],
+                (row_l['INDEX'], row_r['INDEX']),
+            )
         # <= / > so a position exactly at a record's (exclusive) end still
         # interpolates (the reference's strict < drops it: lift.py:350).
         left = sub.loc[sub['QRY_END'] <= pos]

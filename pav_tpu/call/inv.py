@@ -56,7 +56,8 @@ def scan_for_inv(region_flag, ref_store, qry_store, align_lift, k_util,
                  min_informative_kmers=MIN_INFORMATIVE_KMERS,
                  min_kmer_state_count=MIN_KMER_STATE_COUNT,
                  density_smooth_factor=DENSITY_SMOOTH_FACTOR,
-                 min_inv_kmer_run=MIN_INV_KMER_RUN):
+                 min_inv_kmer_run=MIN_INV_KMER_RUN,
+                 strict_parity=False):
     """Scan a flagged region for an inversion, expanding as necessary.
 
     :param region_flag: Flagged region to scan.
@@ -186,7 +187,7 @@ def scan_for_inv(region_flag, ref_store, qry_store, align_lift, k_util,
         is_rev=region_tig.is_rev)
 
     region_ref_outer = align_lift.lift_region_to_sub(region_tig_outer)
-    if region_ref_outer is None:
+    if region_ref_outer is None and not strict_parity:
         # Deviation from the reference (which gives up here: inv.py:393-401):
         # when the aligner breaks exactly at the inversion boundary, the outer
         # breakpoints land in the inter-record query gap; recover them from the
@@ -212,7 +213,7 @@ def scan_for_inv(region_flag, ref_store, qry_store, align_lift, k_util,
                       max(region_tig_outer.pos - k_slack, 0),
                       region_tig_outer.end + k_slack,
                       is_rev=region_tig_outer.is_rev)
-        region_ref_wide = align_lift.lift_region_to_sub(wide)
+        region_ref_wide = None if strict_parity else align_lift.lift_region_to_sub(wide)
         if (region_ref_wide is not None
                 and len(region_ref_wide) >= len(region_tig_outer) * MIN_QRY_REF_PROP):
             region_ref_outer = region_ref_wide

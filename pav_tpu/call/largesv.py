@@ -44,7 +44,7 @@ INV_COLUMNS = [
 
 def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
                     log=None, max_qry_dist_prop=None, max_ref_dist_prop=None,
-                    max_region_size=None, version_ids=True):
+                    max_region_size=None, version_ids=True, strict_parity=False):
     """Scan trimmed alignments for alignment-truncating SVs.
 
     :param df: Trimmed alignment table (trim-qryref tier).
@@ -58,7 +58,7 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
     df['ALN_LEN'] = df['END'] - df['POS']
 
     qry_fai = qry_store.fai()
-    align_lift = AlignLift(df, qry_fai)
+    align_lift = AlignLift(df, qry_fai, strict_parity=strict_parity)
     k_util = KmerUtil(k_size)
 
     ins_list, del_list, inv_list = [], [], []
@@ -140,7 +140,7 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
                         inv_call = inv_mod.scan_for_inv(
                             region_flag, ref_store, qry_store, align_lift, k_util,
                             n_index=n_index, max_region_size=max_region_size,
-                            log=log, min_exp_count=1)
+                            log=log, min_exp_count=1, strict_parity=strict_parity)
                         if inv_call is not None and inv_call.id not in inv_id_set:
                             _log(log, f'INV (2-tig): {inv_call}')
                             inv_list.append(_inv_row(
@@ -165,7 +165,7 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
                         inv_call = inv_mod.scan_for_inv(
                             region_flag, ref_store, qry_store, align_lift, k_util,
                             n_index=n_index, max_region_size=max_region_size,
-                            log=log, min_exp_count=1)
+                            log=log, min_exp_count=1, strict_parity=strict_parity)
 
                         if inv_call is None and sub2 == sub1 + 1 and sub3 == sub1 + 2:
                             # Alignment-supported fallback without density

@@ -39,6 +39,12 @@ DEFAULTS = {
     'min_trim_tig_len': 1000,
     'redundant_callset': False,
 
+    # Strict reference parity: disable this engine's documented recall-improving
+    # deviations (INV outer-breakpoint gap-edge recovery, INV size-check slack
+    # retry, lift gap-interpolation coordinate fix) so runs are directly
+    # comparable to PAV output (docs/ARCHITECTURE.md "Known deviations").
+    'strict_parity': False,
+
     # CIGAR calling
     'cigar_batch_count': 10,
 

@@ -193,6 +193,7 @@ class Pipeline:
                 max_qry_dist_prop=float(cfg.get('lg_max_qry_dist_prop', 1.0)),
                 max_ref_dist_prop=float(cfg.get('lg_max_ref_dist_prop', 3.0)),
                 max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
+                strict_parity=bool(cfg.get('strict_parity', False)),
                 version_ids=True)
 
         # Inversion flagging from CIGAR calls.
@@ -254,7 +255,8 @@ class Pipeline:
         """Scan accepted flagged regions for inversions
         (reference: rules/call_inv.snakefile:115-311)."""
         k_util = KmerUtil(int(cfg.get('inv_k_size', 31)))
-        align_lift = AlignLift(res.align_qryref, qry_store.fai())
+        align_lift = AlignLift(res.align_qryref, qry_store.fai(),
+                               strict_parity=bool(cfg.get('strict_parity', False)))
         id_set = set()
         rows = []
         flags = res.df_flag.loc[res.df_flag['TRY_INV']] if res.df_flag.shape[0] else res.df_flag
@@ -270,7 +272,8 @@ class Pipeline:
                     n_index=self.n_index,
                     max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
                     log=log_buf,
-                    min_exp_count=int(cfg.get('inv_min_expand_count', 1)))
+                    min_exp_count=int(cfg.get('inv_min_expand_count', 1)),
+                    strict_parity=bool(cfg.get('strict_parity', False)))
             except RuntimeError as ex:
                 log_buf.write(f'RuntimeError in scan_for_inv(): {ex}\n')
                 return None

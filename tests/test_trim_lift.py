@@ -182,3 +182,14 @@ def test_lift_gap_interpolation():
     chrom, pos, rev, lo, hi, idx = res
     assert chrom == 'c' and lo == 1100 and hi == 2000 and pos == (1100 + 2000) // 2
     assert idx == (0, 1)
+
+    # strict_parity reproduces the reference verbatim (lift.py:350-378):
+    # interpolated position and min/max bounds in QUERY coordinates.
+    strict = AlignLift(df, {'q': 300}, strict_parity=True)
+    res_s = strict.lift_to_sub('q', 150, gap=True)
+    chrom, pos, rev, lo, hi, idx = res_s
+    assert chrom == 'c' and pos == (100 + 200) // 2 and lo == 100 and hi == 200
+    # Strict mode uses the reference's strict < on the left flank: a position
+    # exactly at a record's exclusive end does not interpolate.
+    assert strict.lift_to_sub('q', 100, gap=True) is None
+    assert lift.lift_to_sub('q', 100, gap=True) is not None

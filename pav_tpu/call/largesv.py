@@ -44,7 +44,8 @@ INV_COLUMNS = [
 
 def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
                     log=None, max_qry_dist_prop=None, max_ref_dist_prop=None,
-                    max_region_size=None, version_ids=True, strict_parity=False):
+                    max_region_size=None, version_ids=True, strict_parity=False,
+                    inv_call_out=None):
     """Scan trimmed alignments for alignment-truncating SVs.
 
     :param df: Trimmed alignment table (trim-qryref tier).
@@ -147,6 +148,8 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
                                 inv_call, hap, is_rev, CALL_SOURCE_ALNTRUNC_DEN,
                                 f"{row1['INDEX']},{row2['INDEX']}", qry_store))
                             inv_id_set.add(inv_call.id)
+                            if inv_call_out is not None:
+                                inv_call_out.append(inv_call)
                             break
                     sub2 += 1
 
@@ -186,6 +189,8 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
                                 f"{row1['INDEX']},{row2_mid['INDEX']},{row3['INDEX']}",
                                 qry_store))
                             inv_id_set.add(inv_call.id)
+                            if inv_call_out is not None:
+                                inv_call_out.append(inv_call)
                             break
                     sub2 += 1
                 else:

@@ -69,6 +69,7 @@ class HaplotypeResult:
         self.callable = None
         self.integrated = None  # {varsvtype: (pass, fail_nonredundant)}
         self.fail_redundant = None  # {varsvtype: redundant FAIL calls}
+        self.inv_calls = []  # accepted InvCall objects (figures + density tables)
 
 
 class Pipeline:
@@ -194,6 +195,7 @@ class Pipeline:
                 max_ref_dist_prop=float(cfg.get('lg_max_ref_dist_prop', 3.0)),
                 max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
                 strict_parity=bool(cfg.get('strict_parity', False)),
+                inv_call_out=res.inv_calls,
                 version_ids=True)
 
         # Inversion flagging from CIGAR calls.
@@ -314,6 +316,7 @@ class Pipeline:
                 align_index, constants.CALL_SOURCE_FLAG_DEN, 'PASS',
                 seqcodec.decode(seq)))
             id_set.add(inv_call.id)
+            res.inv_calls.append(inv_call)
         df = pd.DataFrame(rows, columns=largesv.INV_COLUMNS)
         if df.shape[0]:
             df = df.sort_values(['#CHROM', 'POS', 'END', 'ID']).reset_index(drop=True)
@@ -431,9 +434,48 @@ class Pipeline:
                 vcf_path, self.ref_store, self.ref_info)
 
         if self.run_dir:
-            self._write_artifacts(asm_name, hap_results, merged)
+            self._write_artifacts(asm_name, hap_results, merged,
+                                   stores=dict(to_run))
 
         return {'haps': hap_results, 'merged': merged, 'vcf': vcf_path}
+
+    def _write_inv_figures(self, hdir, res, qry_store):
+        """Persist each accepted inversion's k-mer density table and emit the
+        dotplot + density figures the reference generates as run outputs."""
+        if not res.inv_calls:
+            return
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+
+        from . import plot as plot_mod
+
+        dens_dir = os.path.join(hdir, 'inv_density')
+        fig_dir = os.path.join(hdir, 'figures')
+        os.makedirs(dens_dir, exist_ok=True)
+        os.makedirs(fig_dir, exist_ok=True)
+        for inv_call in res.inv_calls:
+            safe_id = inv_call.id.replace('/', '_')
+            if inv_call.df is not None:
+                inv_call.df.to_csv(
+                    os.path.join(dens_dir, f'{safe_id}.tsv.gz'),
+                    sep='\t', index=False, compression='gzip')
+                plot_mod.density_plot(
+                    inv_call.df, title=inv_call.id,
+                    out_path=os.path.join(fig_dir, f'{safe_id}_density.png'))
+            if qry_store is not None:
+                ref_codes = self.ref_store.fetch_region(
+                    inv_call.region_ref_discovery, rev_compl=False)
+                tig_codes = qry_store.fetch_region(inv_call.region_tig_discovery)
+                fig, ax = plt.subplots(figsize=(6, 6))
+                plot_mod.kmer_dotplot(
+                    ref_codes, tig_codes, ax=ax, title=inv_call.id,
+                    inner=(inv_call.region_ref_inner.pos - inv_call.region_ref_discovery.pos,
+                           inv_call.region_ref_inner.end - inv_call.region_ref_discovery.pos),
+                    outer=(inv_call.region_ref_outer.pos - inv_call.region_ref_discovery.pos,
+                           inv_call.region_ref_outer.end - inv_call.region_ref_discovery.pos))
+                fig.savefig(os.path.join(fig_dir, f'{safe_id}_dotplot.png'), dpi=150)
+                plt.close(fig)
 
     def _merge_all(self, asm_name, hap_results, hap_list, cfg):
         """Diploid merge of every (varsvtype, tier), sharded by length-balanced
@@ -493,7 +535,7 @@ class Pipeline:
                 merged[key] = fut.result()
         return merged
 
-    def _write_artifacts(self, asm_name, hap_results, merged):
+    def _write_artifacts(self, asm_name, hap_results, merged, stores=None):
         base = os.path.join(self.run_dir, asm_name)
         os.makedirs(base, exist_ok=True)
         for hap, res in hap_results.items():
@@ -515,6 +557,22 @@ class Pipeline:
                 for varsvtype, df in res.fail_redundant.items():
                     df.to_csv(os.path.join(hdir, f'fail_redundant_{varsvtype}.tsv.gz'),
                               sep='\t', index=False, compression='gzip')
+            # Per-inversion density tables + dot/density figures (reference:
+            # rules/call_inv.snakefile:279-282, rules/figures.snakefile:97-269).
+            try:
+                self._write_inv_figures(hdir, res, stores.get(hap) if stores else None)
+            except Exception as ex:  # side outputs, never fatal
+                self._logmsg(f'{hap}: inversion figure emission failed: {ex}')
+            # Reconstructed alignments as indexed BAM (reference emits CRAM as
+            # a troubleshooting output: rules/align.snakefile:305-327).
+            try:
+                from .io.sam import write_bam
+                store = (stores or {}).get(hap)
+                if store is not None:
+                    write_bam(res.align_qryref, store, self.ref_store.fai(),
+                              os.path.join(hdir, 'align_trim-qryref.bam'))
+            except Exception as ex:  # side output, never fatal
+                self._logmsg(f'{hap}: BAM emission failed: {ex}')
             # Browser tracks (reference: rules/tracks.snakefile:99-307).
             try:
                 from . import tracks

@@ -198,6 +198,91 @@ def test_merge_batch_table():
     assert sizes.max() / sizes.min() < 1.5  # balanced bins
 
 
+def test_bam_writer_roundtrip(tmp_path):
+    """write_bam output parses with an independent reader (Python gzip +
+    struct per the SAM spec §4), and the .bai has coherent structure."""
+    import struct
+
+    from pav_tpu.io.sam import write_bam
+
+    rng = np.random.default_rng(9)
+    seqs = {f'q{i}': rng.integers(0, 4, 500).astype(np.uint8) for i in range(4)}
+    store = SeqStore(seqs)
+    rows = []
+    for i, qid in enumerate(seqs):
+        rows.append({
+            '#CHROM': 'chrA' if i < 2 else 'chrB', 'POS': 100 + 50 * i,
+            'END': 100 + 50 * i + 480, 'INDEX': i, 'QRY_ID': qid,
+            'QRY_POS': 10, 'QRY_END': 490, 'QRY_LEN': 500, 'MAPQ': 60,
+            'REV': bool(i % 2), 'FLAGS': '0x0010' if i % 2 else '0x0000',
+            'HAP': 'h1', 'CIGAR': '10H230=5I245=10H', 'RG': 'NA',
+        })
+    df = pd.DataFrame(rows)
+    fai = {'chrA': 10000, 'chrB': 10000}
+    path = str(tmp_path / 'out.bam')
+    write_bam(df, store, fai, path)
+
+    # Independent decode: BGZF blocks are concatenated gzip members.
+    raw = gzip.open(path, 'rb').read()
+    assert raw[:4] == b'BAM\x01'
+    off = 4
+    (l_text,) = struct.unpack_from('<i', raw, off); off += 4
+    text = raw[off:off + l_text].decode(); off += l_text
+    assert 'SN:chrA' in text and 'SN:chrB' in text
+    (n_ref,) = struct.unpack_from('<i', raw, off); off += 4
+    names = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from('<i', raw, off); off += 4
+        names.append(raw[off:off + l_name - 1].decode()); off += l_name
+        (l_ref,) = struct.unpack_from('<i', raw, off); off += 4
+        assert l_ref == 10000
+    assert names == ['chrA', 'chrB']
+
+    nib2base = {1: 'A', 2: 'C', 4: 'G', 8: 'T', 15: 'N'}
+    got = []
+    while off < len(raw):
+        (bs,) = struct.unpack_from('<i', raw, off); off += 4
+        rec_end = off + bs
+        rid, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, _, _, _ = \
+            struct.unpack_from('<iiBBHHHiiii', raw, off)
+        off += 32
+        rname = raw[off:off + l_rn - 1].decode(); off += l_rn
+        cig = struct.unpack_from(f'<{n_cig}I', raw, off); off += 4 * n_cig
+        cigar = ''.join(f'{c >> 4}{"MIDNSHP=X"[c & 15]}' for c in cig)
+        seq = ''.join(
+            nib2base[(raw[off + k // 2] >> (4 if k % 2 == 0 else 0)) & 15]
+            for k in range(l_seq))
+        got.append((names[rid], pos, rname, mapq, flag, cigar, seq))
+        off = rec_end
+
+    assert len(got) == 4
+    want = df.sort_values(['#CHROM', 'POS'])
+    for (chrom, pos, rname, mapq, flag, cigar, seq), (_, row) in zip(
+            got, want.iterrows()):
+        assert chrom == row['#CHROM'] and pos == row['POS'] and rname == row['QRY_ID']
+        assert mapq == 60 and cigar == '10S230=5I245=10S'  # hard->soft
+        codes = store.fetch_codes(row['QRY_ID'], rev_compl=bool(row['REV']))
+        assert seq == seqcodec.decode(codes)
+        assert (flag & 0x10) == (0x10 if row['REV'] else 0)
+
+    # BAI structure: magic, per-ref bin/linear sections parse to completion.
+    bai = open(path + '.bai', 'rb').read()
+    assert bai[:4] == b'BAI\x01'
+    (n_ref_i,) = struct.unpack_from('<i', bai, 4)
+    assert n_ref_i == 2
+    off = 8
+    total_chunks = 0
+    for _ in range(n_ref_i):
+        (n_bin,) = struct.unpack_from('<i', bai, off); off += 4
+        for _ in range(n_bin):
+            _b, n_chunk = struct.unpack_from('<Ii', bai, off); off += 8
+            total_chunks += n_chunk
+            off += 16 * n_chunk
+        (n_intv,) = struct.unpack_from('<i', bai, off); off += 4 + 8 * n_intv
+    # Adjacent same-bin records coalesce into one chunk; 2 refs -> >= 2.
+    assert off == len(bai) and total_chunks >= 2
+
+
 def test_merge_sharded_by_chrom_batches():
     """Chromosome-batched merge (pipeline._merge_all sharding) reproduces the
     unsharded merge exactly: per-chromosome merges are independent, so

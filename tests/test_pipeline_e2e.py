@@ -142,6 +142,33 @@ def test_e2e_vcf_output(diploid_run):
             assert len(vref) == len(valt) == 1 and vref != valt
 
 
+def test_e2e_side_outputs(diploid_run):
+    """BAM + per-inversion density tables and figures land in the run dir
+    (reference: rules/align.snakefile:305-327, rules/figures.snakefile:97-269)."""
+    import glob
+    import os
+
+    ref, m1, m2, result = diploid_run
+    run_dir = os.path.dirname(result['vcf'])
+    for hap in ('h1', 'h2'):
+        hdir = os.path.join(run_dir, 'samp1', hap)
+        bam = os.path.join(hdir, 'align_trim-qryref.bam')
+        assert os.path.isfile(bam) and os.path.getsize(bam) > 100
+        assert os.path.isfile(bam + '.bai')
+        with open(bam, 'rb') as fh:
+            import gzip as _gz
+            assert _gz.open(fh, 'rb').read(4) == b'BAM\x01'
+    # h2 carries the planted inversion -> density table + both figures.
+    h2dir = os.path.join(run_dir, 'samp1', 'h2')
+    dens = glob.glob(os.path.join(h2dir, 'inv_density', '*.tsv.gz'))
+    figs = glob.glob(os.path.join(h2dir, 'figures', '*_density.png'))
+    dots = glob.glob(os.path.join(h2dir, 'figures', '*_dotplot.png'))
+    assert dens and figs and dots
+    import pandas as pd
+    df_dens = pd.read_csv(dens[0], sep='\t')
+    assert {'INDEX', 'STATE_MER', 'KERN_FWD', 'KERN_REV'} <= set(df_dens.columns)
+
+
 def test_e2e_artifacts_written(diploid_run, ):
     ref, m1, m2, result = diploid_run
     res_h1 = result['haps']['h1']

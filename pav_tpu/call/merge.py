@@ -19,6 +19,25 @@ Stage semantics (documented behavior; exact svpop internals unavailable):
 Sources merge in order: the first source's variants lead; later sources attach
 at most one variant per lead per source (greedy, best RO then smallest offset),
 otherwise become new leads.
+
+Ambiguity ledger — behaviors the reference documents only partially (svpop
+submodule absent from the snapshot); each is a decision that could silently
+diverge from real svpop output and is pinned by tests/test_svmerge_semantics.py:
+  1. szro's proportional cap base: HAP_MERGING.md says 'offset may not be more
+     than 2x variant size' without naming which variant; this engine uses
+     min(svlen_lead, svlen_cand) (the tighter reading).
+  2. Attach tie-break when one candidate matches several unclaimed leads:
+     highest RO, then smallest offset. svpop's internal ordering is unknown.
+  3. match identity metric: CHANGES.md gives alignment scoring params
+     (match=2,-1,-4,-0.25); this engine scores identity as
+     1 - edit_distance/max_len for pairs <= 2kb and k-mer (k=9) multiset
+     Jaccard above (the reference switches at 500kb). Both agree on the
+     documented 0.8 threshold for near-identical sequences; borderline pairs
+     (~80%) may be judged differently.
+  4. ro/szro stages short-circuit in declaration order (a pair passing any
+     stage merges); svpop may evaluate all and record the best stage.
+  5. The RO denominator is the larger span (reciprocal); MERGE_RO records
+     that value for attached variants, 1.0 for the lead itself.
 """
 
 import re

@@ -113,3 +113,75 @@ def make_diploid(ref_len=60000, seed=7, n_snv=40, n_indel=20, sv_spec=(('INS', 3
     h1, truth1 = mutate(seed + 1)
     h2, truth2 = mutate(seed + 2)
     return ref, {'h1': h1, 'h2': h2}, {'h1': truth1, 'h2': truth2}
+
+
+def repeat_rich_ref(length, rng, n_gap_prop=0.005):
+    """A reference with realistic repeat structure: tandem arrays, diverged
+    segmental duplications, inverted duplications, an interspersed repeat
+    family, and N-gap runs over a random background.
+
+    These are the inputs that actually break aligners (VERDICT r1 weak #6;
+    reference stressors: pavlib/inv.py:457-561 inverted dups,
+    scripts/density.py:47 low-complexity bail). Returns (codes, annotations)
+    where annotations is a list of (kind, pos, end) for the planted features.
+    """
+    seg = []
+    ann = []
+    cur = 0
+
+    # An ALU-like 300bp family consensus reused genome-wide with divergence.
+    family = random_seq(300, rng)
+
+    def diverge(codes, rate):
+        out = codes.copy()
+        n_mut = rng.binomial(len(codes), rate)
+        if n_mut:
+            idx = rng.choice(len(codes), n_mut, replace=False)
+            out[idx] = (out[idx] + 1 + rng.integers(0, 3, n_mut)) % 4
+        return out
+
+    segdup_bank = []
+    while cur < length:
+        r = rng.random()
+        if r < 0.42:                                  # unique background
+            n = int(rng.integers(3000, 12000))
+            seg.append(random_seq(n, rng))
+        elif r < 0.62:                                # tandem array
+            unit = random_seq(int(rng.integers(2, 200)), rng)
+            copies = int(rng.integers(5, max(6, 2000 // max(len(unit), 1))))
+            arr = diverge(np.tile(unit, copies), 0.01)
+            ann.append(('tandem', cur, cur + len(arr)))
+            seg.append(arr)
+        elif r < 0.74:                                # interspersed family
+            seg.append(diverge(family, 0.08))
+            ann.append(('family', cur, cur + 300))
+        elif r < 0.86 and segdup_bank:                # segdup copy (1-5% div)
+            src = segdup_bank[rng.integers(0, len(segdup_bank))]
+            dup = diverge(src, rng.uniform(0.01, 0.05))
+            if rng.random() < 0.3:                    # inverted duplication
+                dup = seqcodec.revcomp(dup)
+                ann.append(('inv_dup', cur, cur + len(dup)))
+            else:
+                ann.append(('segdup', cur, cur + len(dup)))
+            seg.append(dup)
+        elif r < 0.86:                                # seed a segdup source
+            n = int(rng.integers(5000, 20000))
+            block = random_seq(n, rng)
+            segdup_bank.append(block)
+            ann.append(('segdup_src', cur, cur + n))
+            seg.append(block)
+        elif r < 0.86 + n_gap_prop * 10:              # N-gap
+            n = int(rng.integers(100, 5000))
+            ann.append(('n_gap', cur, cur + n))
+            seg.append(np.full(n, seqcodec.AMBIG, dtype=np.uint8))
+        else:                                         # low-complexity run
+            unit = random_seq(int(rng.integers(1, 4)), rng)
+            n = int(rng.integers(200, 1500))
+            arr = np.tile(unit, n // len(unit) + 1)[:n]
+            ann.append(('low_complexity', cur, cur + n))
+            seg.append(arr)
+        cur += len(seg[-1])
+
+    codes = np.concatenate(seg)[:length]
+    ann = [(k, p, min(e, length)) for k, p, e in ann if p < length]
+    return codes, ann

@@ -359,25 +359,64 @@ def callable_regions(df_align, df_lg_del, df_lg_ins, df_lg_inv, flank=500):
 
 # ------------------------------------------------------------ haplotype merge
 
-def get_gt(row, hap, callable_index):
-    """Genotype for one haplotype: '1' if called, '0' if callable, '.' if not
-    (reference: pavlib/call.py:99-119)."""
-    if hap in str(row['HAP']).split(';'):
-        return '1'
-    idx = callable_index.get(row['#CHROM'])
-    # Containment required, not just overlap (reference: call.py:114-117).
-    if idx is not None and idx.any_contains(row['POS'], row['END']):
-        return '0'
-    return '.'
-
-
 def val_per_hap(df, df_dict, col_name, delim=';'):
     """Pack per-haplotype values for merged variants
+    (reference: pavlib/call.py:122-148). Thin wrapper over the columnar
+    multi-column path."""
+    return pd.Series(
+        _pack_per_hap_columns(df, df_dict, [col_name], delim=delim)[col_name],
+        index=df.index)
+
+
+def _pack_per_hap_columns(df, df_dict, col_names, delim=';'):
+    """Columnar val_per_hap over many columns at once: explode the
+    (hap, variant-ID) pairs one time, resolve values with per-hap batched
+    ``.loc`` lookups (no per-row scalar access), and string-join per row
     (reference: pavlib/call.py:122-148)."""
-    def pack(row):
-        pairs = list(zip(str(row['HAP']).split(';'), str(row['HAP_VARIANTS']).split(';')))
-        return delim.join(str(df_dict[h].loc[v, col_name]) for h, v in pairs)
-    return df.apply(pack, axis=1)
+    hap_lists = [str(v).split(';') for v in df['HAP']]
+    var_lists = [str(v).split(';') for v in df['HAP_VARIANTS']]
+    counts = np.fromiter((len(h) for h in hap_lists), dtype=np.int64,
+                         count=len(hap_lists))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    flat_hap = np.array([h for hl in hap_lists for h in hl], dtype=object)
+    flat_var = np.array([v for vl in var_lists for v in vl], dtype=object)
+    hap_masks = {h: flat_hap == h for h in dict.fromkeys(flat_hap.tolist())}
+
+    out = {}
+    for col in col_names:
+        flat_vals = np.empty(len(flat_hap), dtype=object)
+        for h, mask in hap_masks.items():
+            vals = df_dict[h].loc[list(flat_var[mask]), col]
+            flat_vals[mask] = [str(v) for v in vals]
+        out[col] = [delim.join(flat_vals[s:e])
+                    for s, e in zip(offsets[:-1], offsets[1:])]
+    return out
+
+
+def _genotype_columns(df, hap_list, callable_idx_list):
+    """Per-hap GT characters for merged variants: '1' if called on the hap,
+    '0' if the span is contained in a callable region, '.' otherwise
+    (reference: pavlib/call.py:99-119, containment per call.py:114-117).
+    Columnar: numpy column arrays + interval-index binary searches, no per-row
+    pandas access."""
+    hap_sets = [set(str(v).split(';')) for v in df['HAP']]
+    chrom_arr = df['#CHROM'].to_numpy()
+    pos_arr = df['POS'].to_numpy()
+    end_arr = df['END'].to_numpy()
+    n = len(df)
+
+    cols = []
+    for hap, cidx in zip(hap_list, callable_idx_list):
+        out = np.empty(n, dtype=object)
+        for j in range(n):
+            if hap in hap_sets[j]:
+                out[j] = '1'
+            else:
+                idx = cidx.get(chrom_arr[j])
+                out[j] = ('0' if idx is not None
+                          and idx.any_contains(pos_arr[j], end_arr[j]) else '.')
+        cols.append(out)
+    return cols
 
 
 def merge_haplotypes(bed_list, callable_list, hap_list, config_def,
@@ -408,7 +447,7 @@ def merge_haplotypes(bed_list, callable_list, hap_list, config_def,
     for col in ('HAP', 'HAP_VARIANTS', 'HAP_RO', 'HAP_SZRO', 'HAP_OFFSET',
                 'HAP_OFFSZ', 'HAP_MATCH'):
         if col in df.columns:
-            df[col] = df[col].apply(lambda val: ';'.join(str(val).split(',')))
+            df[col] = df[col].astype(str).str.replace(',', ';', regex=False)
 
     df_dict = {}
     for hap, bed in zip(hap_list, bed_list):
@@ -417,10 +456,13 @@ def merge_haplotypes(bed_list, callable_list, hap_list, config_def,
         df_dict[hap] = sub
 
     if df.shape[0] > 0:
-        for col in ('QRY_REGION', 'QRY_STRAND', 'CI', 'ALIGN_INDEX', 'CALL_SOURCE',
-                    'RGN_REF_INNER', 'RGN_QRY_INNER', 'COV_MEAN', 'COV_PROP', 'COV_QRY'):
-            if col in df.columns:
-                df[col] = val_per_hap(df, df_dict, col)
+        pack_cols = [col for col in (
+            'QRY_REGION', 'QRY_STRAND', 'CI', 'ALIGN_INDEX', 'CALL_SOURCE',
+            'RGN_REF_INNER', 'RGN_QRY_INNER', 'COV_MEAN', 'COV_PROP', 'COV_QRY')
+            if col in df.columns]
+        packed = _pack_per_hap_columns(df, df_dict, pack_cols)
+        for col in pack_cols:
+            df[col] = packed[col]
 
     callable_idx_list = []
     for item in callable_list:
@@ -428,11 +470,8 @@ def merge_haplotypes(bed_list, callable_list, hap_list, config_def,
         callable_idx_list.append(build_interval_index_by_chrom(sub))
 
     if df.shape[0] > 0:
-        gt_cols = [
-            df.apply(get_gt, hap=hap_list[i], callable_index=callable_idx_list[i], axis=1)
-            for i in range(n_hap)
-        ]
-        df['GT'] = pd.concat(gt_cols, axis=1).apply(lambda vals: '|'.join(vals), axis=1)
+        gt_cols = _genotype_columns(df, hap_list, callable_idx_list)
+        df['GT'] = ['|'.join(vals) for vals in zip(*gt_cols)]
     else:
         df['GT'] = ''
 

@@ -78,18 +78,29 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
             oriented_cache[key] = seqcodec.revcomp(codes) if is_rev else codes
         return oriented_cache[key]
 
+    # Pre-split the table into per-(chrom, qry) row-dict groups: the pair scan
+    # below is O(n^2) with data-dependent breaks, so it stays a Python loop, but
+    # per-row access must be plain dicts, not pandas scalar .loc (50 us/row).
+    group_rows = {}
+    if multi:
+        multi_set = set(multi)
+        for rec in df.to_dict('records'):
+            key = (rec['#CHROM'], rec['QRY_ID'])
+            if key in multi_set:
+                group_rows.setdefault(key, []).append(rec)
+
     for chrom, qid in multi:
         ref_seq = ref_store.get(chrom)
-        idx_list = list(df.loc[(df['#CHROM'] == chrom) & (df['QRY_ID'] == qid)].index)
-        n_idx = len(idx_list)
+        rows = group_rows[(chrom, qid)]
+        n_idx = len(rows)
 
         for sub1 in range(n_idx - 1):
-            row1 = df.loc[idx_list[sub1]]
+            row1 = rows[sub1]
             is_rev = bool(row1['REV'])
             sub2 = sub1 + 1
 
             while sub2 < n_idx:
-                row2 = df.loc[idx_list[sub2]]
+                row2 = rows[sub2]
 
                 if bool(row2['REV']) == is_rev:
                     # INS/DEL/2-record-INV scan
@@ -157,7 +168,7 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
                     # 3-record inversion signature (+,-,+ or -,+,-)
                     sub3 = sub2 + 1
                     row2_mid = row2
-                    row3 = df.loc[idx_list[sub3]]
+                    row3 = rows[sub3]
                     mid = (row2_mid['QRY_POS'] + row2_mid['QRY_END']) // 2
                     if (bool(row3['REV']) == bool(row1['REV'])
                             and ((not row1['REV'] and row1['QRY_END'] < mid < row3['QRY_POS'])

@@ -2,10 +2,9 @@
 
 Parity with the reference's alignment reconstruction
 (scripts/reconstruct_sam.py:28-102 + rules/align.snakefile:305-327, which pipes
-through `samtools view -O CRAM`); without htslib in the image, SAM (optionally
-gzip) and BAM+BAI are emitted directly from the engine's own BGZF layer —
-convertible to CRAM with samtools when available. SAM parsing lives in
-pav_tpu.align.table.read_sam.
+through `samtools view -O CRAM`); SAM (optionally gzip) and BAM+BAI are emitted
+directly from the engine's own BGZF layer. CRAM 3.0 emission lives in
+pav_tpu.io.cram; SAM parsing in pav_tpu.align.table.read_sam.
 """
 
 import gzip

@@ -563,16 +563,21 @@ class Pipeline:
                 self._write_inv_figures(hdir, res, stores.get(hap) if stores else None)
             except Exception as ex:  # side outputs, never fatal
                 self._logmsg(f'{hap}: inversion figure emission failed: {ex}')
-            # Reconstructed alignments as indexed BAM (reference emits CRAM as
-            # a troubleshooting output: rules/align.snakefile:305-327).
+            # Reconstructed alignments as indexed BAM + CRAM (the reference
+            # emits CRAM as a troubleshooting output via samtools:
+            # rules/align.snakefile:305-327; both containers are written
+            # natively here).
             try:
+                from .io.cram import write_cram
                 from .io.sam import write_bam
                 store = (stores or {}).get(hap)
                 if store is not None:
                     write_bam(res.align_qryref, store, self.ref_store.fai(),
                               os.path.join(hdir, 'align_trim-qryref.bam'))
+                    write_cram(res.align_qryref, store, self.ref_store,
+                               os.path.join(hdir, 'align_trim-qryref.cram'))
             except Exception as ex:  # side output, never fatal
-                self._logmsg(f'{hap}: BAM emission failed: {ex}')
+                self._logmsg(f'{hap}: BAM/CRAM emission failed: {ex}')
             # Browser tracks (reference: rules/tracks.snakefile:99-307).
             try:
                 from . import tracks

@@ -164,6 +164,9 @@ def main():
     warm_bytes = int(float(os.environ.get('PAV_BENCH_PREFAULT_GB', 3)) * 1e9)
     retain_heap(warm_bytes)
 
+    verbose = os.environ.get('PAV_BENCH_VERBOSE') == '1'
+    logf = sys.stderr if verbose else open(os.devnull, 'w')
+
     ref_len = int(REF_MBP * 1e6)
     ref, h1, h2, t1, t2 = build_genome(ref_len, SEED)
 
@@ -173,12 +176,15 @@ def main():
     # Warmup: small run compiles all kernel shape buckets.
     wref, wh1, wh2, *_ = build_genome(300000, SEED + 99)
     wpipe = Pipeline(SeqStore({'chr1': wref}), {'aligner_min_chain_score': 1000},
-                     log=open(os.devnull, 'w'))
+                     log=logf)
     wpipe.run_sample('warm', {'h1': SeqStore({'w1': wh1}), 'h2': SeqStore({'w2': wh2})},
                      write_vcf=False)
 
+    from pav_tpu.ops import affine_dp
+    affine_dp.stats_reset()
+
     pipeline = Pipeline(ref_store, {'aligner_min_chain_score': 1000},
-                        run_dir='/tmp/pav_bench_run', log=open(os.devnull, 'w'))
+                        run_dir='/tmp/pav_bench_run', log=logf)
 
     t0 = time.time()
     result = pipeline.run_sample(
@@ -201,6 +207,11 @@ def main():
     for stage, secs in sorted(stage_tot.items(), key=lambda kv: -kv[1]):
         sys.stderr.write(f'[bench]   {stage:<14} {secs:7.2f}s  '
                          f'{100 * secs / max(elapsed, 1e-9):5.1f}%\n')
+    st = affine_dp.STATS
+    sys.stderr.write(
+        f'[bench] device DP: {st["launches"]} launches, {st["items"]} items, '
+        f'h2d {st["h2d_bytes"] / 1e6:.1f}MB, d2h {st["d2h_bytes"] / 1e6:.1f}MB, '
+        f'dispatch {st["dispatch_s"]:.2f}s, resolve-wait {st["resolve_s"]:.2f}s\n')
 
     value = contig_mbp / elapsed
     print(json.dumps({

@@ -91,6 +91,29 @@ def _shape_batch(m_b, width_b):
     return max(8, min(4096, (128 << 20) // max(m_b * width_b, 1)))
 
 
+def _resolve_handles(handles):
+    """Collect a list of align_batch_async handles.
+
+    Accelerators: queue every launch's device->host copy first
+    (handle.prefetch -> copy_to_host_async), then block on them in launch
+    order. All transfers overlap, but exactly one blocking reader touches the
+    link at a time — concurrent blocking reads from multiple threads are a
+    stall trigger on tunneled transports (observed: minutes-long recv hangs).
+    CPU: a small thread pool overlaps the compute-bound resolves instead.
+    """
+    import jax
+
+    if jax.default_backend() == 'cpu' and len(handles) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            return list(pool.map(lambda h: h(), handles))
+    for h in handles:
+        pf = getattr(h, 'prefetch', None)
+        if pf is not None:
+            pf()
+    return [h() for h in handles]
+
+
 class _Segment:
     __slots__ = ('q', 'r', 'kind', 'result')
 
@@ -517,6 +540,10 @@ class Aligner:
 
     # ------------------------------------------------------------ DP batching
 
+    @staticmethod
+    def _resolve(handles):
+        return _resolve_handles(handles)
+
     def _run_segments(self, segments):
         """Bucket DP jobs into static shapes and run batched kernel calls."""
         # Canonical square buckets, quantized to a handful of size classes so a
@@ -578,16 +605,7 @@ class Aligner:
                 launches.append((chunk, pairs, handle))
 
         retry = []
-        # Resolve launches on a small thread pool: each resolve blocks on a
-        # device->host read whose cost is dominated by link round-trip
-        # latency, so overlapping them recovers ~Nx (results are applied in
-        # launch order — deterministic regardless of completion order).
-        if len(launches) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=4) as pool:
-                all_results = list(pool.map(lambda lh: lh[2](), launches))
-        else:
-            all_results = [handle() for _, _, handle in launches]
+        all_results = _resolve_handles([h for _, _, h in launches])
         for (chunk, pairs, handle), results in zip(launches, all_results):
             for i, res in zip(chunk, results):
                 if res is None:

@@ -31,6 +31,18 @@ import numpy as np
 
 NEG = jnp.int32(-(1 << 29))
 
+# Device-interaction counters (reset with stats_reset; read via STATS).
+# Maintained unconditionally — a few dict adds per *launch* (not per item)
+# is noise next to the launch itself — and surfaced by bench.py to show
+# how many round trips the engine makes on latency-bound links.
+STATS = {'launches': 0, 'items': 0, 'h2d_bytes': 0, 'd2h_bytes': 0,
+         'resolve_s': 0.0, 'dispatch_s': 0.0}
+
+
+def stats_reset():
+    for k in STATS:
+        STATS[k] = 0.0 if k.endswith('_s') else 0
+
 DEFAULT_SCORING = {
     'match': 1, 'mismatch': -5,
     'gap_open': (5, 56), 'gap_ext': (4, 1),
@@ -404,6 +416,8 @@ class BandedAligner:
             qpad[i, :len(qq)] = qq
             rpad[i, :len(rr)] = rr
 
+        import time as _time
+        _t0 = _time.time()
         # Sequences cross to the device 2-bit packed (+ ambiguity bitmap) on
         # accelerators; the CPU backend skips the pack/unpack round trip.
         if jax.default_backend() != 'cpu':
@@ -427,12 +441,34 @@ class BandedAligner:
                 int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
                 backend_kind=_pallas_backend_kind())
 
+        STATS['launches'] += 1
+        STATS['items'] += B
+        STATS['h2d_bytes'] += (B_pad * (max_m + max_n) // 4 * 5 // 4
+                               if jax.default_backend() != 'cpu'
+                               else B_pad * (max_m + max_n))
+        STATS['dispatch_s'] += _time.time() - _t0
+
+        def prefetch():
+            # Start the device->host copy without blocking: with every
+            # launch's transfer queued up front, sequential resolves overlap
+            # all transfers while keeping exactly ONE blocking reader on the
+            # link (concurrent blocking reads on the tunneled transport are a
+            # stall trigger; see _resolve_handles).
+            try:
+                fused.copy_to_host_async()
+            except Exception:
+                pass    # optional acceleration; resolve() blocks regardless
+
         def resolve():
             # One transfer per launch; slice on host. (Device-side `arr[:B]`
             # with a free-varying B compiles a fresh XLA slice program per
             # distinct B — observed 0.4s/compile dominating the align stage —
             # and each extra device->host read costs a ~25ms round trip.)
-            buf = np.asarray(fused)
+            _t1 = _time.time()
+            from ..runtime import fetch
+            buf = fetch(fused)
+            STATS['resolve_s'] += _time.time() - _t1
+            STATS['d2h_bytes'] += buf.nbytes
             pk = buf[:B, :-5]
             pl = buf[:B, -5:-1].astype(np.int32) << np.arange(
                 4, dtype=np.int32) * 8
@@ -445,6 +481,7 @@ class BandedAligner:
             return [None if er[i] else packed_steps_to_cigar(pk[i], int(pl[i]))
                     for i in range(B)]
 
+        resolve.prefetch = prefetch
         return resolve
 
 

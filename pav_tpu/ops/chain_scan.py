@@ -106,4 +106,5 @@ def chain_scores(qpos, rpos, group, k, lookback=64, max_dist=50000,
         jnp.asarray(qpos_p), jnp.asarray(rpos_p), jnp.asarray(group_p),
         int(lookback), int(k),
         float(max_dist), float(max_gap_diff), float(gap_scale))
-    return np.asarray(f)[:n], np.asarray(parent)[:n]
+    from ..runtime import fetch
+    return fetch(f)[:n], fetch(parent)[:n]

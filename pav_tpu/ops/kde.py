@@ -89,9 +89,10 @@ def smoothed_states(state_mer, sigmas, n_states=3, with_density=False):
     fft_len = _next_pow2(n_pad + kw)
     state, dens = _density_state_kernel(
         jnp.asarray(padded), jnp.asarray(kernels), fft_len, n_states)
-    state_np = np.asarray(state)[:n]
+    from ..runtime import fetch
+    state_np = fetch(state)[:n]
     if with_density:
-        return state_np, np.asarray(dens)[:, :n]
+        return state_np, fetch(dens)[:, :n]
     return state_np, None
 
 
@@ -109,7 +110,8 @@ def gaussian_density_states(state_mer, sigmas, n_states=3):
                                  n_states)
     fft_len = _next_pow2(n_pad + kw)
     out = _conv_batch(jnp.asarray(hist), jnp.asarray(kernels), fft_len)
-    return np.asarray(out)[:, :n]
+    from ..runtime import fetch
+    return fetch(out)[:, :n]
 
 
 def scott_sigmas(state_mer, bw_factor, n_states=3):

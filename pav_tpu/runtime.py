@@ -1,8 +1,26 @@
 """Runtime/backend helpers."""
 
 import os
+import threading
 
 import numpy as np
+
+# Exactly one blocking device->host read at a time on accelerator backends:
+# concurrent blocking reads from multiple host threads are a stall trigger on
+# tunneled transports (observed: minutes-long recv hangs mid-run). Transfers
+# still overlap — callers queue copy_to_host_async before blocking — the lock
+# only serializes the final waits.
+TRANSFER_LOCK = threading.Lock()
+
+
+def fetch(arr):
+    """np.asarray(device_array) with the accelerator transfer lock held."""
+    import jax
+
+    if jax.default_backend() == 'cpu':
+        return np.asarray(arr)
+    with TRANSFER_LOCK:
+        return np.asarray(arr)
 
 
 def retain_heap(warm_bytes=0):

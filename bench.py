@@ -12,10 +12,16 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mbp/s", "vs_baseline": N/0.33}
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+# kill -USR1 <pid> dumps all thread stacks to stderr — the tunneled TPU
+# backend can hang in a transport recv; this makes the hang site visible.
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -109,8 +115,9 @@ def ensure_healthy_backend():
         return
     if force == 'cpu':
         _reexec_cpu()
-    import jax
-    if jax.default_backend() == 'cpu':
+    # Env-only backend check: the parent must not initialize the device
+    # client here (priming children need the link to themselves).
+    if os.environ.get('JAX_PLATFORMS') == 'cpu':
         return
     timeout = float(os.environ.get('PAV_BENCH_PROBE_TIMEOUT', 300))
     root = os.path.dirname(os.path.abspath(__file__))
@@ -147,6 +154,20 @@ def _reexec_cpu():
 
 def main():
     ensure_healthy_backend()
+
+    # Prime the compile cache in disposable child processes BEFORE this
+    # process touches the device: a tunneled server-side compile can wedge
+    # indefinitely, and a wedged child is killed and retried while every
+    # completed compile persists in the cache for this process to load.
+    # (Backend decided from env — the parent must not initialize the device
+    # client before the priming children run.)
+    if os.environ.get('JAX_PLATFORMS') != 'cpu':
+        from pav_tpu.runtime import prime_kernels_isolated
+        t0 = time.time()
+        n_ok, n_fail = prime_kernels_isolated(
+            verbose=os.environ.get('PAV_BENCH_VERBOSE') == '1')
+        sys.stderr.write(f'[bench] isolated priming: {n_ok} shapes ok, '
+                         f'{n_fail} chunks failed, {time.time() - t0:.0f}s\n')
 
     from pav_tpu.io.fasta import SeqStore
     from pav_tpu.pipeline import Pipeline

@@ -8,8 +8,6 @@ import argparse
 import json
 import sys
 
-from .pipeline import run
-
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
@@ -28,6 +26,13 @@ def main(argv=None):
                         help='Resume from stage artifacts in the run dir')
     parser.add_argument('--profile-dir', default=None,
                         help='Write a JAX profiler trace here')
+    # Multi-host cohort fan-out (reference: Snakemake cluster profiles,
+    # NATIVE_INSTALL.md:68-103). Launch one process per host with the same
+    # coordinator; samples shard round-robin across processes.
+    parser.add_argument('--coordinator', default=None, metavar='HOST:PORT',
+                        help='jax.distributed coordinator (process 0 host)')
+    parser.add_argument('--num-processes', type=int, default=1)
+    parser.add_argument('--process-id', type=int, default=0)
     args = parser.parse_args(argv)
 
     # Engine processes churn large short-lived buffers; keeping freed pages in
@@ -43,6 +48,33 @@ def main(argv=None):
         key, _, val = item.partition('=')
         overrides[key] = val
 
+    if args.coordinator and args.num_processes > 1:
+        # Must run before anything touches jax (engine imports create device
+        # constants, which would initialize the backend pre-distributed).
+        from .parallel.multihost import init, shard_samples
+        cohort = init(args.coordinator, args.num_processes, args.process_id)
+        from .assembly_table import read_assembly_table
+        from .pipeline import run
+        names = list(read_assembly_table(args.assemblies).index)
+        if args.sample:
+            names = [n for n in names if n in set(args.sample)]
+        mine = shard_samples(names, args.process_id, args.num_processes)
+        results = run(args.ref, args.assemblies, config=overrides,
+                      run_dir=args.run_dir, samples=mine,
+                      resume=args.resume, profile_dir=args.profile_dir) \
+            if mine else {}
+        local = {name: {'vcf': res['vcf'], 'process': args.process_id}
+                 for name, res in results.items()}
+        manifest = {}
+        for shard in cohort.allgather_obj('cli_manifest', local):
+            manifest.update(shard)
+        cohort.barrier('cli_done')
+        for asm_name in sorted(manifest):
+            print(f'{asm_name}: {manifest[asm_name]["vcf"]} '
+                  f'(process {manifest[asm_name]["process"]})')
+        return 0
+
+    from .pipeline import run
     results = run(args.ref, args.assemblies, config=overrides,
                   run_dir=args.run_dir, samples=args.sample,
                   resume=args.resume, profile_dir=args.profile_dir)

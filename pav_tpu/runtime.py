@@ -102,10 +102,15 @@ _DP_SHAPES_LARGE = [
 
 
 def prime_kernels(sizes=('small', 'medium', 'large'),
-                  kde_grids=(1 << 14, 1 << 16, 1 << 17)):
+                  kde_grids=(1 << 14, 1 << 16, 1 << 17),
+                  shape_range=None):
     """Pre-compile the engine's canonical kernel shapes so data-dependent work
     never stalls on a compile (compiles are expensive on tunneled backends,
-    and one cold genome run touches ~30 DP programs)."""
+    and one cold genome run touches ~30 DP programs).
+
+    :param shape_range: optional (lo, hi) slice of the DP shape list — used by
+        prime_kernels_isolated to prime chunks in separate processes.
+    """
     from .align.aligner.core import _shape_batch
     from .ops import affine_dp, kde
 
@@ -115,15 +120,31 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
     launches = list(_DP_SHAPES)
     if 'large' in sizes:
         launches += _DP_SHAPES_LARGE
+    if shape_range is not None:
+        launches = launches[shape_range[0]:shape_range[1]]
+    import sys
+    import time
+    verbose = os.environ.get('PAV_TPU_PRIME_VERBOSE') == '1'
+
     handles = []
     for (m_b, n_b), width_b in launches:
+        t0 = time.time()
         q = rng.integers(0, 4, max(m_b // 2, 1)).astype(np.uint8)
         r = rng.integers(0, 4, max(n_b // 2, 1)).astype(np.uint8)
         handles.append(dp.align_batch_async(
             [(q, r)], width=width_b, pad_to=(m_b, n_b),
             pad_batch=_shape_batch(m_b, width_b)))
-    for h in handles:
-        h()
+        if verbose:
+            sys.stderr.write(f'[prime] dispatch dp ({m_b},{n_b})w{width_b} '
+                             f'{time.time() - t0:.1f}s\n')
+            sys.stderr.flush()
+    for (m_b, n_b), width_b in launches:
+        t0 = time.time()
+        handles.pop(0)()
+        if verbose:
+            sys.stderr.write(f'[prime] resolve dp ({m_b},{n_b})w{width_b} '
+                             f'{time.time() - t0:.1f}s\n')
+            sys.stderr.flush()
 
     # KDE shapes: common grid sizes x a spread of kernel widths.
     for n in kde_grids:
@@ -132,5 +153,70 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
         state[n // 3: 2 * n // 3] = 2
         state[2 * n // 3:] = 1
         for sigma_scale in (0.02, 0.08):
+            t0 = time.time()
             sigmas = np.full(3, max(2.0, sigma_scale * n))
             kde.smoothed_states(state, sigmas)
+            if verbose:
+                sys.stderr.write(f'[prime] kde n={n} s={sigma_scale} '
+                                 f'{time.time() - t0:.1f}s\n')
+                sys.stderr.flush()
+
+
+def prime_kernels_isolated(chunk=6, timeout_s=420, verbose=False):
+    """Compile-prime the DP shape classes in child processes, a chunk at a
+    time, with a hard timeout per chunk.
+
+    On tunneled accelerator backends a server-side compile can stall
+    indefinitely (observed: >12 min wedged on one shape). Because the
+    persistent compilation cache survives process death, priming in
+    disposable children turns "stall forever" into "kill, retry, move on":
+    every shape that ever compiles is cached for the main process, and a
+    shape that repeatedly wedges is skipped instead of hanging the engine.
+
+    Returns (n_ok, n_failed_chunks).
+    """
+    import subprocess
+    import sys as _sys
+
+    n_shapes = len(_DP_SHAPES) + len(_DP_SHAPES_LARGE)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def prime_range(lo, hi, tmo):
+        code = (f'import sys; sys.path.insert(0, {root!r}); '
+                'from pav_tpu.runtime import enable_compile_cache, prime_kernels; '
+                'enable_compile_cache(); '
+                f'prime_kernels(shape_range=({lo}, {hi}), kde_grids=())')
+        try:
+            subprocess.run([_sys.executable, '-c', code], timeout=tmo,
+                           check=True, capture_output=not verbose)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if verbose:
+                _sys.stderr.write(f'[prime] range {lo}:{hi} failed/timed out\n')
+            return False
+
+    n_ok = 0
+    n_fail = 0
+    for lo in range(0, n_shapes, chunk):
+        hi = min(lo + chunk, n_shapes)
+        if prime_range(lo, hi, timeout_s):
+            n_ok += hi - lo
+            continue
+        # Chunk wedged: retry shape-by-shape so one bad program cannot
+        # shadow its neighbors (all successes persist in the cache).
+        for i in range(lo, hi):
+            if prime_range(i, i + 1, timeout_s // 2):
+                n_ok += 1
+            else:
+                n_fail += 1
+    # KDE shapes prime quickly; run them in one child as well.
+    code = (f'import sys; sys.path.insert(0, {root!r}); '
+            'from pav_tpu.runtime import enable_compile_cache, prime_kernels; '
+            'enable_compile_cache(); '
+            'prime_kernels(shape_range=(0, 0), kde_grids=(1 << 14, 1 << 16, 1 << 17))')
+    try:
+        subprocess.run([_sys.executable, '-c', code], timeout=timeout_s,
+                       check=True, capture_output=not verbose)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        n_fail += 1
+    return n_ok, n_fail

@@ -1,0 +1,102 @@
+"""Multi-host cohort fan-out: two real processes, jax.distributed
+coordination, samples sharded round-robin, manifest gathered on every process
+(reference analog: Snakemake cluster distribution, NATIVE_INSTALL.md:68-103)."""
+
+import gzip
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from helpers import Mutator, random_seq
+
+from pav_tpu import seqcodec
+from pav_tpu.parallel.multihost import shard_samples
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_shard_samples_deterministic():
+    names = [f'S{i}' for i in range(7)]
+    shards = [shard_samples(names, p, 3) for p in range(3)]
+    # Disjoint, complete, deterministic under input order.
+    assert sorted(sum(shards, [])) == sorted(names)
+    assert shards == [shard_samples(list(reversed(names)), p, 3)
+                      for p in range(3)]
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_cohort_two_processes(tmp_path):
+    rng = np.random.default_rng(21)
+    ref = random_seq(60000, rng)
+
+    def hap(seed, snv_at):
+        r = np.random.default_rng(seed)
+        mut = Mutator(ref)
+        mut.snv(snv_at, rng=r)
+        mut.dele(40000, 120)
+        return mut.finish()
+
+    (tmp_path / 'ref.fa').write_text('>chr1\n' + seqcodec.decode(ref) + '\n')
+    for si, snv_at in ((1, 5000), (2, 9000)):
+        for hi in (1, 2):
+            seq = hap(10 * si + hi, snv_at)
+            (tmp_path / f's{si}h{hi}.fa').write_text(
+                f'>tig{si}{hi}\n' + seqcodec.decode(seq) + '\n')
+    (tmp_path / 'asm.tsv').write_text(
+        'NAME\tHAP_h1\tHAP_h2\n'
+        'SampA\ts1h1.fa\ts1h2.fa\n'
+        'SampB\ts2h1.fa\ts2h2.fa\n')
+
+    port = _free_port()
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PYTHONPATH'] = ROOT
+    env.pop('XLA_FLAGS', None)   # no virtual device splitting in children
+
+    def launch(pid):
+        return subprocess.Popen(
+            [sys.executable, '-m', 'pav_tpu',
+             '--ref', 'ref.fa', '--assemblies', 'asm.tsv', '--run-dir', 'run',
+             '--coordinator', f'localhost:{port}',
+             '--num-processes', '2', '--process-id', str(pid),
+             '--set', 'aligner_min_chain_score=500'],
+            cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+
+    procs = [launch(0), launch(1)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f'rc={p.returncode}\n{out}\n{err}'
+        outs.append(out)
+
+    # Every process prints the FULL cohort manifest (gathered cross-process).
+    for out in outs:
+        assert 'SampA:' in out and 'SampB:' in out
+
+    # One process ran each sample (round-robin by sorted name).
+    procs_of = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith('Samp'):
+                name = line.split(':')[0]
+                procs_of[name] = line.rsplit('process ', 1)[1].rstrip(')')
+    assert procs_of == {'SampA': '0', 'SampB': '1'}
+
+    # Both VCFs exist and contain the planted SNVs.
+    for sample, pos in (('SampA', 5001), ('SampB', 9001)):
+        vcf = tmp_path / 'run' / f'{sample}.vcf.gz'
+        assert vcf.exists(), f'{sample} VCF missing'
+        positions = {int(ln.split('\t')[1])
+                     for ln in gzip.open(vcf, 'rt') if not ln.startswith('#')}
+        assert pos in positions, f'{sample}: planted SNV {pos} not called'

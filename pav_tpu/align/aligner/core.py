@@ -86,6 +86,40 @@ def _bucket_pow2(x, lo=32, hi=1 << 15):
     return v
 
 
+# Coarse size ladder for accelerator backends. Every (m, n, width) class is
+# one compiled program; on tunneled TPU backends a compile costs seconds to
+# minutes (server-side, not persistently cacheable), so the ladder trades
+# padded device compute — nearly free at these sizes — for an order of
+# magnitude fewer programs (~10 vs ~56 fine-grained pow2 classes).
+_ACCEL_LADDER = (64, 256, 512, 2048, 8192, 32768)
+
+
+def _bucket_ladder(x, ladder=_ACCEL_LADDER):
+    for v in ladder:
+        if x <= v:
+            return v
+    return ladder[-1]
+
+
+def _accel_bucket(m, n):
+    """(m_b, n_b, width_b) for the accelerator class ladder.
+
+    Classes <= 512 and unbalanced classes run full width (exact DP, no
+    band-escape retries). Balanced large classes run a banded window when the
+    segment hugs the diagonal; escapes re-run at full width.
+    """
+    m_b = _bucket_ladder(m)
+    n_b = _bucket_ladder(n)
+    if max(m_b, n_b) <= 512 or m_b != n_b:
+        return m_b, n_b, n_b + 1
+    w_need = 2 * abs(m - n) + _MIN_WIDTH
+    if w_need <= 513:
+        return m_b, n_b, 512      # compiles at width 513
+    if w_need <= 2049 and n_b >= 8192:
+        return m_b, n_b, 2048     # compiles at width 2049
+    return m_b, n_b, n_b + 1
+
+
 def _shape_batch(m_b, width_b):
     """Deterministic batch size for a DP shape (one compiled program each)."""
     return max(8, min(4096, (128 << 20) // max(m_b * width_b, 1)))
@@ -549,14 +583,24 @@ class Aligner:
         # Canonical square buckets, quantized to a handful of size classes so a
         # genome run compiles only a few DP programs. Small classes run
         # full-width DP; large segments get a coarsely-bucketed band.
+        import jax
+        accel = jax.default_backend() != 'cpu'
+
         buckets = collections.defaultdict(list)
         for si, seg in enumerate(segments):
             if seg.kind == 'break':
                 continue
             m, n = len(seg.q), len(seg.r)
-            # Rows (query) and columns (ref) pad independently: large segments
-            # are nearly pure indels, so one side is usually tiny and square
-            # padding would scan ~64x more cells than the problem needs.
+            if accel:
+                # Accelerators: coarse ladder — padded compute is cheap on
+                # the chip, compiles are not (see _ACCEL_LADDER).
+                buckets[_accel_bucket(m, n)].append(si)
+                continue
+            # CPU: fine-grained pow2 classes — local compiles are cheap,
+            # padded compute is not. Rows (query) and columns (ref) pad
+            # independently: large segments are nearly pure indels, so one
+            # side is usually tiny and square padding would scan ~64x more
+            # cells than the problem needs.
             m_b = _bucket_pow2(m, lo=16)
             n_b = _bucket_pow2(n, lo=16)
             if max(m_b, n_b) <= 256:
@@ -580,8 +624,7 @@ class Aligner:
         # costs a fresh compile, which on a tunneled backend is seconds to
         # minutes. CPU: compiles are local and fast but compute is not —
         # quantize the batch down (pow4) to the workload instead.
-        import jax
-        fixed_batch = jax.default_backend() != 'cpu'
+        fixed_batch = accel
 
         def batch_pad(batch, n_items):
             if fixed_batch:
@@ -619,8 +662,12 @@ class Aligner:
             regroup = collections.defaultdict(list)
             for i in retry:
                 seg = segments[i]
-                m_b = _bucket_pow2(len(seg.q), lo=16)
-                n_b = _bucket_pow2(len(seg.r), lo=16)
+                if accel:
+                    m_b = _bucket_ladder(len(seg.q))
+                    n_b = _bucket_ladder(len(seg.r))
+                else:
+                    m_b = _bucket_pow2(len(seg.q), lo=16)
+                    n_b = _bucket_pow2(len(seg.r), lo=16)
                 regroup[(m_b, n_b)].append(i)
             for (m_b, n_b), idx_list in sorted(regroup.items()):
                 batch = _shape_batch(m_b, n_b + 1)

@@ -100,6 +100,28 @@ _DP_SHAPES_LARGE = [
     ((512, 512), 257), ((512, 512), 513),
 ]
 
+# Accelerator backends bucket on the coarse ladder instead
+# (core._accel_bucket): ~one order of magnitude fewer compiled programs,
+# each compile being seconds-to-minutes on a tunneled remote-compile
+# backend. Ordered most-common-first so partial priming covers the bulk.
+_DP_SHAPES_ACCEL = [
+    ((64, 64), 65), ((64, 256), 257), ((256, 64), 65), ((256, 256), 257),
+    ((64, 512), 513), ((512, 64), 65), ((256, 512), 513), ((512, 256), 257),
+    ((512, 512), 513),
+    ((64, 2048), 2049), ((2048, 64), 65),
+    ((256, 2048), 2049), ((2048, 256), 257),
+    ((512, 2048), 2049), ((2048, 512), 513),
+    ((2048, 2048), 512),       # banded (compiles at width 513)
+    ((8192, 8192), 512),       # balanced mid-size, banded
+    ((8192, 8192), 2048),      # end extensions (compiles at width 2049)
+    ((2048, 2048), 2049),      # band-escape retry, full width
+    # 2-8 kb indel-heavy segments (one side large): full width.
+    ((8192, 64), 65), ((8192, 256), 257), ((8192, 512), 513),
+    ((8192, 2048), 2049),
+    ((64, 8192), 8193), ((256, 8192), 8193), ((512, 8192), 8193),
+    ((2048, 8192), 8193),
+]
+
 
 def prime_kernels(sizes=('small', 'medium', 'large'),
                   kde_grids=(1 << 14, 1 << 16, 1 << 17),
@@ -114,37 +136,54 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
     from .align.aligner.core import _shape_batch
     from .ops import affine_dp, kde
 
+    import jax
     dp = affine_dp.BandedAligner()
     rng = np.random.default_rng(0)
+    accel = jax.default_backend() != 'cpu'
 
-    launches = list(_DP_SHAPES)
-    if 'large' in sizes:
-        launches += _DP_SHAPES_LARGE
+    if accel:
+        # Accelerators bucket on the coarse ladder (core._accel_bucket).
+        launches = list(_DP_SHAPES_ACCEL)
+    else:
+        launches = list(_DP_SHAPES)
+        if 'large' in sizes:
+            launches += _DP_SHAPES_LARGE
     if shape_range is not None:
         launches = launches[shape_range[0]:shape_range[1]]
     import sys
     import time
     verbose = os.environ.get('PAV_TPU_PRIME_VERBOSE') == '1'
 
-    handles = []
-    for (m_b, n_b), width_b in launches:
+    def prime_one(launch):
+        (m_b, n_b), width_b = launch
         t0 = time.time()
         q = rng.integers(0, 4, max(m_b // 2, 1)).astype(np.uint8)
         r = rng.integers(0, 4, max(n_b // 2, 1)).astype(np.uint8)
-        handles.append(dp.align_batch_async(
+        dp.align_batch_async(
             [(q, r)], width=width_b, pad_to=(m_b, n_b),
-            pad_batch=_shape_batch(m_b, width_b)))
+            pad_batch=_shape_batch(m_b, width_b))()
         if verbose:
-            sys.stderr.write(f'[prime] dispatch dp ({m_b},{n_b})w{width_b} '
+            sys.stderr.write(f'[prime] dp ({m_b},{n_b})w{width_b} '
                              f'{time.time() - t0:.1f}s\n')
             sys.stderr.flush()
-    for (m_b, n_b), width_b in launches:
-        t0 = time.time()
-        handles.pop(0)()
-        if verbose:
-            sys.stderr.write(f'[prime] resolve dp ({m_b},{n_b})w{width_b} '
-                             f'{time.time() - t0:.1f}s\n')
-            sys.stderr.flush()
+
+    if accel and len(launches) > 1:
+        # Remote-compile backends overlap concurrent compiles server-side
+        # (~3x observed); threads block in backend_compile with the GIL
+        # released.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(prime_one, launches))
+    else:
+        handles = []
+        for (m_b, n_b), width_b in launches:
+            q = rng.integers(0, 4, max(m_b // 2, 1)).astype(np.uint8)
+            r = rng.integers(0, 4, max(n_b // 2, 1)).astype(np.uint8)
+            handles.append(dp.align_batch_async(
+                [(q, r)], width=width_b, pad_to=(m_b, n_b),
+                pad_batch=_shape_batch(m_b, width_b)))
+        for h in handles:
+            h()
 
     # KDE shapes: common grid sizes x a spread of kernel widths.
     for n in kde_grids:
@@ -162,6 +201,19 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
                 sys.stderr.flush()
 
 
+def _cache_dir_entries():
+    """Entry count of this backend's persistent compile cache dir (0 when
+    missing). Some PJRT plugins (the tunneled axon backend among them) do not
+    support executable serialization: jax silently skips the persistent cache
+    and every process pays full compile cost."""
+    import glob
+
+    base = os.environ.get('PAV_TPU_COMPILE_CACHE', '/tmp/jax_cache_pav_tpu')
+    # Any non-cpu backend dir counts (the caller runs env-only, pre-init).
+    return sum(len(os.listdir(d)) for d in glob.glob(f'{base}_*')
+               if not d.endswith('_cpu') and os.path.isdir(d))
+
+
 def prime_kernels_isolated(chunk=6, timeout_s=420, verbose=False):
     """Compile-prime the DP shape classes in child processes, a chunk at a
     time, with a hard timeout per chunk.
@@ -173,12 +225,17 @@ def prime_kernels_isolated(chunk=6, timeout_s=420, verbose=False):
     every shape that ever compiles is cached for the main process, and a
     shape that repeatedly wedges is skipped instead of hanging the engine.
 
-    Returns (n_ok, n_failed_chunks).
+    When the backend does not support the persistent cache at all (the cache
+    dir stays empty after a successful child), children are wasted work —
+    bail out immediately and let the caller prime in-process instead.
+
+    Returns (n_ok, n_failed_chunks); n_ok == 0 means "prime in-process".
     """
     import subprocess
     import sys as _sys
 
-    n_shapes = len(_DP_SHAPES) + len(_DP_SHAPES_LARGE)
+    # Only accelerator envs reach this path; they bucket on the coarse ladder.
+    n_shapes = len(_DP_SHAPES_ACCEL)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     def prime_range(lo, hi, tmo):
@@ -201,14 +258,21 @@ def prime_kernels_isolated(chunk=6, timeout_s=420, verbose=False):
         hi = min(lo + chunk, n_shapes)
         if prime_range(lo, hi, timeout_s):
             n_ok += hi - lo
-            continue
-        # Chunk wedged: retry shape-by-shape so one bad program cannot
-        # shadow its neighbors (all successes persist in the cache).
-        for i in range(lo, hi):
-            if prime_range(i, i + 1, timeout_s // 2):
-                n_ok += 1
-            else:
-                n_fail += 1
+        else:
+            # Chunk wedged: retry shape-by-shape so one bad program cannot
+            # shadow its neighbors (all successes persist in the cache).
+            for i in range(lo, hi):
+                if prime_range(i, i + 1, timeout_s // 2):
+                    n_ok += 1
+                else:
+                    n_fail += 1
+        if n_ok and _cache_dir_entries() == 0:
+            # Children compiled but nothing persisted: the backend does not
+            # serialize executables. Isolated priming cannot help — stop.
+            if verbose:
+                _sys.stderr.write('[prime] persistent cache ineffective for '
+                                  'this backend; priming in-process instead\n')
+            return 0, n_fail
     # KDE shapes prime quickly; run them in one child as well.
     code = (f'import sys; sys.path.insert(0, {root!r}); '
             'from pav_tpu.runtime import enable_compile_cache, prime_kernels; '

@@ -166,3 +166,42 @@ def test_band_escape_resolves_to_none_and_full_width_recovers():
     if narrow[0] is not None:
         lens_n, ops_n = narrow[0]
         assert int(lens_n[cg.CONSUMES_QRY[ops_n].astype(bool)].sum()) == len(q)
+
+
+def test_accel_bucket_ladder():
+    """Accelerator shape classes: coarse ladder, full width for small and
+    unbalanced classes, banded window only for balanced large classes."""
+    from pav_tpu.align.aligner.core import _accel_bucket, _ACCEL_LADDER
+
+    # Small and unbalanced classes run at full width (exact DP, no retries).
+    assert _accel_bucket(10, 10) == (64, 64, 65)
+    assert _accel_bucket(100, 40) == (256, 64, 65)
+    assert _accel_bucket(300, 400) == (512, 512, 513)
+    assert _accel_bucket(100, 1900) == (256, 2048, 2049)
+    # Balanced large classes get a banded window when the segment hugs the
+    # diagonal; the width value compiles at width+1 (pow2+1 rounding).
+    assert _accel_bucket(1000, 1010) == (2048, 2048, 512)
+    assert _accel_bucket(5000, 5400) == (8192, 8192, 2048)
+    # Wide divergence within a balanced class falls back to full width.
+    assert _accel_bucket(600, 1900) == (2048, 2048, 2049)
+    # Every primed accelerator shape is reachable from the bucketing rules.
+    from pav_tpu.runtime import _DP_SHAPES_ACCEL
+    for (m_b, n_b), _w in _DP_SHAPES_ACCEL:
+        assert m_b in _ACCEL_LADDER and n_b in _ACCEL_LADDER
+
+
+def test_accel_bucket_covers_primed_widths():
+    """The width assigned by _accel_bucket for representative segment sizes is
+    always one of the primed (shape, width) classes, so an accelerator run of
+    human-like data never compiles an unprimed program."""
+    from pav_tpu.align.aligner.core import _accel_bucket
+    from pav_tpu.runtime import _DP_SHAPES_ACCEL
+
+    primed = {(m_b, n_b, w) for (m_b, n_b), w in _DP_SHAPES_ACCEL}
+    rng = np.random.default_rng(7)
+    for _ in range(500):
+        m = int(rng.integers(1, 8000))
+        n = int(rng.integers(1, 8000))
+        m_b, n_b, w = _accel_bucket(m, n)
+        if not (m_b == n_b == 8192 and abs(m - n) > 992):
+            assert (m_b, n_b, w) in primed, (m, n, m_b, n_b, w)

@@ -104,6 +104,10 @@ def _bucket_ladder(x, ladder=_ACCEL_LADDER):
 def _accel_bucket(m, n):
     """(m_b, n_b, width_b) for the accelerator class ladder.
 
+    Callers orient segments so m <= n first (_run_segments transposes and
+    swaps I/D in the result): the DP scan is sequential over rows, so rows =
+    the shorter side minimizes scan depth and halves the class count.
+
     Classes <= 512 and unbalanced classes run full width (exact DP, no
     band-escape retries). Balanced large classes run a banded window when the
     segment hugs the diagonal; escapes re-run at full width.
@@ -593,8 +597,14 @@ class Aligner:
             m, n = len(seg.q), len(seg.r)
             if accel:
                 # Accelerators: coarse ladder — padded compute is cheap on
-                # the chip, compiles are not (see _ACCEL_LADDER).
-                buckets[_accel_bucket(m, n)].append(si)
+                # the chip, compiles are not (see _ACCEL_LADDER). Segments
+                # run transposed when the query side is longer: global DP is
+                # symmetric under (q<->r, I<->D), the scan is sequential over
+                # rows, and rows = the shorter side minimizes scan depth.
+                if m > n:
+                    buckets[_accel_bucket(n, m) + (True,)].append(si)
+                else:
+                    buckets[_accel_bucket(m, n) + (False,)].append(si)
                 continue
             # CPU: fine-grained pow2 classes — local compiles are cheap,
             # padded compute is not. Rows (query) and columns (ref) pad
@@ -612,7 +622,7 @@ class Aligner:
             else:
                 width = min(2 * abs(m - n) + _MIN_WIDTH, n + 1)
                 width_b = min(_bucket_pow2(width, lo=256) + 1, n_b + 1)
-            buckets[(m_b, n_b, width_b)].append(si)
+            buckets[(m_b, n_b, width_b, False)].append(si)
 
         # Two-phase: dispatch every bucket to the device first, then collect —
         # transfers overlap compute and each other (async dispatch). Batch size
@@ -635,26 +645,29 @@ class Aligner:
             return min(batch, b_pad)
 
         launches = []
-        for (m_b, n_b, width_b), idx_list in sorted(buckets.items()):
+        for (m_b, n_b, width_b, transposed), idx_list in sorted(buckets.items()):
             # Batch cap per shape, sized so in-flight DP state stays bounded
             # (~128M cells).
             batch = _shape_batch(m_b, width_b)
             for lo in range(0, len(idx_list), batch):
                 chunk = idx_list[lo:lo + batch]
-                pairs = [(segments[i].q, segments[i].r) for i in chunk]
+                if transposed:
+                    pairs = [(segments[i].r, segments[i].q) for i in chunk]
+                else:
+                    pairs = [(segments[i].q, segments[i].r) for i in chunk]
                 handle = self.dp.align_batch_async(
                     pairs, width=width_b, pad_to=(m_b, n_b),
                     pad_batch=batch_pad(batch, len(chunk)))
-                launches.append((chunk, pairs, handle))
+                launches.append((chunk, transposed, handle))
 
         retry = []
         all_results = _resolve_handles([h for _, _, h in launches])
-        for (chunk, pairs, handle), results in zip(launches, all_results):
+        for (chunk, transposed, handle), results in zip(launches, all_results):
             for i, res in zip(chunk, results):
                 if res is None:
                     retry.append(i)
                 else:
-                    segments[i].result = res
+                    segments[i].result = _swap_ins_del(res) if transposed else res
         if retry:
             # Band-escaping paths (e.g. opposing gaps) re-run at full width,
             # grouped into the same canonical shape classes (width = n_b + 1)
@@ -662,22 +675,27 @@ class Aligner:
             regroup = collections.defaultdict(list)
             for i in retry:
                 seg = segments[i]
+                m, n = len(seg.q), len(seg.r)
+                t = accel and m > n
+                if t:
+                    m, n = n, m
                 if accel:
-                    m_b = _bucket_ladder(len(seg.q))
-                    n_b = _bucket_ladder(len(seg.r))
+                    m_b = _bucket_ladder(m)
+                    n_b = _bucket_ladder(n)
                 else:
-                    m_b = _bucket_pow2(len(seg.q), lo=16)
-                    n_b = _bucket_pow2(len(seg.r), lo=16)
-                regroup[(m_b, n_b)].append(i)
-            for (m_b, n_b), idx_list in sorted(regroup.items()):
+                    m_b = _bucket_pow2(m, lo=16)
+                    n_b = _bucket_pow2(n, lo=16)
+                regroup[(m_b, n_b, t)].append(i)
+            for (m_b, n_b, t), idx_list in sorted(regroup.items()):
                 batch = _shape_batch(m_b, n_b + 1)
                 for lo in range(0, len(idx_list), batch):
                     chunk = idx_list[lo:lo + batch]
-                    pairs = [(segments[i].q, segments[i].r) for i in chunk]
+                    pairs = [(segments[i].r, segments[i].q) if t
+                             else (segments[i].q, segments[i].r) for i in chunk]
                     for i, res in zip(chunk, self.dp.align_batch(
                             pairs, width=n_b + 1, pad_to=(m_b, n_b),
                             pad_batch=batch_pad(batch, len(chunk)))):
-                        segments[i].result = res
+                        segments[i].result = _swap_ins_del(res) if t else res
 
         # Post-DP break detection: long segments that still aligned terribly.
         # Extension segments are exempt — their best-prefix trim already drops
@@ -840,6 +858,14 @@ def _lis_indices(arr):
         out.append(i)
         i = parent[i]
     return np.array(out[::-1], dtype=np.int64)
+
+
+def _swap_ins_del(res):
+    """Map a transposed DP result back to the original frame (I <-> D)."""
+    lens, ops = res
+    swapped = np.where(ops == cg.I, cg.D,
+                       np.where(ops == cg.D, cg.I, ops)).astype(np.int8)
+    return lens, swapped
 
 
 def _coalesce_spans(spans):

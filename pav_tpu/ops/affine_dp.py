@@ -36,12 +36,13 @@ NEG = jnp.int32(-(1 << 29))
 # is noise next to the launch itself — and surfaced by bench.py to show
 # how many round trips the engine makes on latency-bound links.
 STATS = {'launches': 0, 'items': 0, 'h2d_bytes': 0, 'd2h_bytes': 0,
-         'resolve_s': 0.0, 'dispatch_s': 0.0}
+         'resolve_s': 0.0, 'dispatch_s': 0.0,
+         'classes': {}}  # (max_m, max_n, width, B_pad) -> [launches, resolve_s]
 
 
 def stats_reset():
     for k in STATS:
-        STATS[k] = 0.0 if k.endswith('_s') else 0
+        STATS[k] = {} if k == 'classes' else (0.0 if k.endswith('_s') else 0)
 
 DEFAULT_SCORING = {
     'match': 1, 'mismatch': -5,
@@ -467,7 +468,12 @@ class BandedAligner:
             _t1 = _time.time()
             from ..runtime import fetch
             buf = fetch(fused)
-            STATS['resolve_s'] += _time.time() - _t1
+            _dt = _time.time() - _t1
+            STATS['resolve_s'] += _dt
+            key = (max_m, max_n, int(width), B_pad)
+            cls = STATS['classes'].setdefault(key, [0, 0.0])
+            cls[0] += 1
+            cls[1] += _dt
             STATS['d2h_bytes'] += buf.nbytes
             pk = buf[:B, :-5]
             pl = buf[:B, -5:-1].astype(np.int32) << np.arange(

@@ -105,21 +105,16 @@ _DP_SHAPES_LARGE = [
 # each compile being seconds-to-minutes on a tunneled remote-compile
 # backend. Ordered most-common-first so partial priming covers the bulk.
 _DP_SHAPES_ACCEL = [
-    ((64, 64), 65), ((64, 256), 257), ((256, 64), 65), ((256, 256), 257),
-    ((64, 512), 513), ((512, 64), 65), ((256, 512), 513), ((512, 256), 257),
-    ((512, 512), 513),
-    ((64, 2048), 2049), ((2048, 64), 65),
-    ((256, 2048), 2049), ((2048, 256), 257),
-    ((512, 2048), 2049), ((2048, 512), 513),
+    # m <= n always: core transposes segments so rows = the shorter side
+    # (scan depth) and I/D swap back on the host.
+    ((64, 64), 65), ((64, 256), 257), ((256, 256), 257),
+    ((64, 512), 513), ((256, 512), 513), ((512, 512), 513),
+    ((64, 2048), 2049), ((256, 2048), 2049), ((512, 2048), 2049),
     ((2048, 2048), 512),       # banded (compiles at width 513)
+    ((2048, 2048), 2049),      # band-escape retry, full width
+    ((64, 8192), 8193), ((256, 8192), 8193), ((512, 8192), 8193),
     ((8192, 8192), 512),       # balanced mid-size, banded
     ((8192, 8192), 2048),      # end extensions (compiles at width 2049)
-    ((2048, 2048), 2049),      # band-escape retry, full width
-    # 2-8 kb indel-heavy segments (one side large): full width.
-    ((8192, 64), 65), ((8192, 256), 257), ((8192, 512), 513),
-    ((8192, 2048), 2049),
-    ((64, 8192), 8193), ((256, 8192), 8193), ((512, 8192), 8193),
-    ((2048, 8192), 8193),
 ]
 
 

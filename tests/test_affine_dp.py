@@ -174,8 +174,9 @@ def test_accel_bucket_ladder():
     from pav_tpu.align.aligner.core import _accel_bucket, _ACCEL_LADDER
 
     # Small and unbalanced classes run at full width (exact DP, no retries).
+    # Callers orient m <= n (transposed DP) before bucketing.
     assert _accel_bucket(10, 10) == (64, 64, 65)
-    assert _accel_bucket(100, 40) == (256, 64, 65)
+    assert _accel_bucket(40, 100) == (64, 256, 257)
     assert _accel_bucket(300, 400) == (512, 512, 513)
     assert _accel_bucket(100, 1900) == (256, 2048, 2049)
     # Balanced large classes get a banded window when the segment hugs the
@@ -202,6 +203,8 @@ def test_accel_bucket_covers_primed_widths():
     for _ in range(500):
         m = int(rng.integers(1, 8000))
         n = int(rng.integers(1, 8000))
+        m, n = min(m, n), max(m, n)   # callers orient m <= n (transpose)
         m_b, n_b, w = _accel_bucket(m, n)
-        if not (m_b == n_b == 8192 and abs(m - n) > 992):
+        if not ((m_b == n_b == 8192 and n - m > 992)
+                or (m_b == 2048 and n_b == 8192)):
             assert (m_b, n_b, w) in primed, (m, n, m_b, n_b, w)

@@ -198,3 +198,36 @@ def test_end_extension_rejects_foreign_tail():
     # The foreign prefix remains (mostly) clipped.
     assert row['QRY_POS'] > 250
     assert abs(row['POS'] - 10000) < 60
+
+
+def test_accel_bucketing_transpose_equivalence(monkeypatch):
+    """The accelerator path (coarse ladder classes + transposed DP for
+    query-major segments, core._run_segments accel branch) produces the same
+    alignment table as the CPU path on the same input. Global DP is symmetric
+    under (q<->r, I<->D); ladder classes only widen bands/padding."""
+    import jax
+
+    rng = np.random.default_rng(33)
+    ref = random_seq(400000, rng)
+    mut = Mutator(ref)
+    mut.snv(5000, rng=rng)
+    mut.ins(40000, random_seq(800, rng))      # query-major segment
+    mut.dele(80000, 700)                      # ref-major segment
+    mut.ins(120000, random_seq(30, rng))
+    mut.dele(160000, 25)
+    mut.snv(200000, rng=rng)
+    hap = mut.finish()
+    store = SeqStore({'c1': hap})
+    ref_store = SeqStore({'chr1': ref})
+
+    df_cpu = Aligner(ref_store, {'aligner_min_chain_score': 500}).align_store(
+        store, 'h1')
+
+    # Force the accel branch (bucketing/transpose only; DP still runs on the
+    # CPU backend, including the 2-bit packed-transfer path).
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'fake-accel')
+    df_acc = Aligner(ref_store, {'aligner_min_chain_score': 500}).align_store(
+        store, 'h1')
+
+    pd.testing.assert_frame_equal(
+        df_cpu.reset_index(drop=True), df_acc.reset_index(drop=True))

@@ -114,18 +114,29 @@ def _accel_bucket(m, n):
     """
     m_b = _bucket_ladder(m)
     n_b = _bucket_ladder(n)
-    if max(m_b, n_b) <= 512 or m_b != n_b:
+    if max(m_b, n_b) <= 2048 or m_b != n_b:
+        # Full width: the gather-free specialized kernel
+        # (affine_dp._align_batch_full) makes exact DP cheaper than the
+        # banded kernel's dynamic window shifts up to 2048 columns.
         return m_b, n_b, n_b + 1
     w_need = 2 * abs(m - n) + _MIN_WIDTH
     if w_need <= 513:
         return m_b, n_b, 512      # compiles at width 513
-    if w_need <= 2049 and n_b >= 8192:
+    if w_need <= 2049:
         return m_b, n_b, 2048     # compiles at width 2049
     return m_b, n_b, n_b + 1
 
 
 def _shape_batch(m_b, width_b):
-    """Deterministic batch size for a DP shape (one compiled program each)."""
+    """Deterministic batch size for a DP shape (one compiled program each).
+
+    Accelerators run much larger batches: per-launch overhead dominates small
+    launches (measured: 4x batch -> ~1.6x time), and HBM comfortably holds the
+    bigger in-flight traceback tensor (<=512M cells = 512 MB uint8).
+    """
+    import jax
+    if jax.default_backend() != 'cpu':
+        return max(8, min(16384, (512 << 20) // max(m_b * width_b, 1)))
     return max(8, min(4096, (128 << 20) // max(m_b * width_b, 1)))
 
 

@@ -66,6 +66,114 @@ def gap_cost(g, scoring=DEFAULT_SCORING):
 
 @functools.partial(jax.jit, static_argnames=('max_m', 'width', 'match', 'mismatch',
                                              'o1', 'o2', 'e1', 'e2'))
+def _align_batch_full(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
+    """Full-width specialization (width == max_n + 1): no band window, so no
+    dynamic shifts, no per-step gathers, and no row-0 special case inside the
+    scan — the substitution matrix is one broadcast compare consumed as a
+    scan input, and the step body is purely fused elementwise work + an
+    O(log width) prefix max. Accumulators are float32 (exact: |score| stays
+    far below 2^24) — TPU VPU lanes are float-native.
+
+    Returns (score [B] f32, tb [B, max_m, width] uint8, offsets [B, max_m]
+    int32 zeros) — same contract as _align_batch.
+    """
+    B, max_n = r.shape
+    w_idx = jnp.arange(width, dtype=jnp.int32)
+    NEGF = jnp.float32(-1e30)
+
+    def one(qi, ri, mi, ni):
+        j_valid = w_idx <= ni                                   # [w]
+        # Row 0: H[0][j] = -gapcost(j).
+        gap_j = -jnp.minimum(o1 + w_idx * e1, o2 + w_idx * e2).astype(jnp.float32)
+        h0 = jnp.where(w_idx == 0, 0.0, gap_j)
+        h0 = jnp.where(j_valid, h0, NEGF)
+
+        # Substitution rows for i = 1..max_m in one broadcast compare
+        # (column j consumes r[j-1]; column 0 is never a diagonal target).
+        ri_pad = jnp.concatenate([jnp.full((1,), 4, ri.dtype), ri])  # r[j-1] at j
+        eq = (qi[:max_m, None] == ri_pad[None, :width]) & \
+             (qi[:max_m, None] < 4) & (ri_pad[None, :width] < 4)
+        subst = jnp.where(eq, jnp.float32(match), jnp.float32(mismatch))
+        diag_ok = (w_idx >= 1)[None, :] & j_valid[None, :]
+        subst = jnp.where(diag_ok, subst, NEGF)                 # [max_m, w]
+        i_arr = jnp.arange(1, max_m + 1, dtype=jnp.int32)
+        row_valid = (j_valid[None, :] & (i_arr[:, None] <= mi))  # [max_m, w]
+
+        e1f, e2f = jnp.float32(e1), jnp.float32(e2)
+        o1f, o2f = jnp.float32(o1), jnp.float32(o2)
+        aug1 = w_idx.astype(jnp.float32) * e1f
+        aug2 = w_idx.astype(jnp.float32) * e2f
+
+        def step(carry, x):
+            h_prev, e1_prev, e2_prev = carry
+            subst_row, valid = x
+
+            # Vertical (query-consuming, 'I') gap states.
+            e1_open = h_prev - (o1f + e1f)
+            e1_ext = e1_prev - e1f
+            e1_new = jnp.maximum(e1_open, e1_ext)
+            bit_e1_ext = e1_ext > e1_open
+
+            e2_open = h_prev - (o2f + e2f)
+            e2_ext = e2_prev - e2f
+            e2_new = jnp.maximum(e2_open, e2_ext)
+            bit_e2_ext = e2_ext > e2_open
+
+            e_best = jnp.maximum(e1_new, e2_new)
+            bit_e_piece2 = e2_new > e1_new
+
+            # Diagonal: H[i-1][j-1] is a static shift-right of the previous row.
+            h_diag = jnp.concatenate([jnp.full((1,), NEGF), h_prev[:-1]])
+            diag = h_diag + subst_row
+
+            htilde = jnp.maximum(diag, e_best)
+            bit_ht_e = e_best > diag
+
+            # Horizontal (ref-consuming, 'D') gaps via prefix-max scans.
+            def f_scan(aug, ext, open_):
+                a = htilde + aug
+                runmax = jax.lax.associative_scan(jnp.maximum, a)
+                prev_max = jnp.concatenate([jnp.full((1,), NEGF), runmax[:-1]])
+                f = prev_max - open_ - aug
+                opened_at_prev = jnp.concatenate(
+                    [jnp.full((1,), True), prev_max[1:] == a[:-1]])
+                return f, opened_at_prev
+
+            f1, bit_f1_open = f_scan(aug1, e1f, o1f)
+            f2, bit_f2_open = f_scan(aug2, e2f, o2f)
+            f_best = jnp.maximum(f1, f2)
+            bit_f_piece2 = f2 > f1
+
+            h_new = jnp.maximum(htilde, f_best)
+            bit_h_f = f_best > htilde
+
+            h_new = jnp.where(valid, h_new, NEGF)
+            e1_new = jnp.where(valid, e1_new, NEGF)
+            e2_new = jnp.where(valid, e2_new, NEGF)
+
+            tb = (bit_ht_e.astype(jnp.uint8)
+                  | (bit_h_f.astype(jnp.uint8) << 1)
+                  | (bit_e_piece2.astype(jnp.uint8) << 2)
+                  | (bit_f_piece2.astype(jnp.uint8) << 3)
+                  | (bit_e1_ext.astype(jnp.uint8) << 4)
+                  | (bit_e2_ext.astype(jnp.uint8) << 5)
+                  | (bit_f1_open.astype(jnp.uint8) << 6)
+                  | (bit_f2_open.astype(jnp.uint8) << 7))
+
+            return (h_new, e1_new, e2_new), tb
+
+        e_init = jnp.full(width, NEGF)
+        (h_last, _, _), tb = jax.lax.scan(step, (h0, e_init, e_init),
+                                          (subst, row_valid))
+        return h_last, tb
+
+    h_last, tb = jax.vmap(one)(q, r, m, n)
+    offs = jnp.zeros((B, max_m), dtype=jnp.int32)
+    return h_last, tb, offs
+
+
+@functools.partial(jax.jit, static_argnames=('max_m', 'width', 'match', 'mismatch',
+                                             'o1', 'o2', 'e1', 'e2'))
 def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
     """q: [B, max_m] int8 (padded), r: [B, max_n] int8, m/n: [B] int32 lengths.
 
@@ -254,6 +362,11 @@ def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1,
         tb, offs = pallas_dp.pallas_align_full(
             q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
             interpret=backend_kind == 'pallas-interp')
+    elif width == r.shape[1] + 1:
+        # Full-width classes (all small/unbalanced accelerator classes):
+        # the gather-free specialized scan.
+        _, tb, offs = _align_batch_full(q, r, m, n, max_m, width,
+                                        match, mismatch, o1, o2, e1, e2)
     else:
         _, tb, offs = _align_batch(q, r, m, n, max_m, width,
                                    match, mismatch, o1, o2, e1, e2)

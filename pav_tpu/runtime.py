@@ -106,12 +106,13 @@ _DP_SHAPES_LARGE = [
 # backend. Ordered most-common-first so partial priming covers the bulk.
 _DP_SHAPES_ACCEL = [
     # m <= n always: core transposes segments so rows = the shorter side
-    # (scan depth) and I/D swap back on the host.
+    # (scan depth) and I/D swap back on the host. Everything <= 2048 columns
+    # runs full-width through the gather-free kernel; only balanced 8192
+    # classes (end extensions, refinement-resistant blocks) stay banded.
     ((64, 64), 65), ((64, 256), 257), ((256, 256), 257),
     ((64, 512), 513), ((256, 512), 513), ((512, 512), 513),
     ((64, 2048), 2049), ((256, 2048), 2049), ((512, 2048), 2049),
-    ((2048, 2048), 512),       # banded (compiles at width 513)
-    ((2048, 2048), 2049),      # band-escape retry, full width
+    ((2048, 2048), 2049),
     ((64, 8192), 8193), ((256, 8192), 8193), ((512, 8192), 8193),
     ((8192, 8192), 512),       # balanced mid-size, banded
     ((8192, 8192), 2048),      # end extensions (compiles at width 2049)

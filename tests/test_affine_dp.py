@@ -179,12 +179,13 @@ def test_accel_bucket_ladder():
     assert _accel_bucket(40, 100) == (64, 256, 257)
     assert _accel_bucket(300, 400) == (512, 512, 513)
     assert _accel_bucket(100, 1900) == (256, 2048, 2049)
-    # Balanced large classes get a banded window when the segment hugs the
-    # diagonal; the width value compiles at width+1 (pow2+1 rounding).
-    assert _accel_bucket(1000, 1010) == (2048, 2048, 512)
-    assert _accel_bucket(5000, 5400) == (8192, 8192, 2048)
-    # Wide divergence within a balanced class falls back to full width.
+    # <= 2048 columns is always full width (the gather-free kernel).
+    assert _accel_bucket(1000, 1010) == (2048, 2048, 2049)
     assert _accel_bucket(600, 1900) == (2048, 2048, 2049)
+    # Balanced 8192 classes get a banded window when the segment hugs the
+    # diagonal; the width value compiles at width+1 (pow2+1 rounding).
+    assert _accel_bucket(5000, 5400) == (8192, 8192, 2048)
+    assert _accel_bucket(3000, 3010) == (8192, 8192, 512)
     # Every primed accelerator shape is reachable from the bucketing rules.
     from pav_tpu.runtime import _DP_SHAPES_ACCEL
     for (m_b, n_b), _w in _DP_SHAPES_ACCEL:

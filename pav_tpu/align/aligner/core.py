@@ -164,15 +164,39 @@ def _resolve_handles(handles):
 
 
 class _Segment:
-    __slots__ = ('q', 'r', 'kind', 'result')
+    __slots__ = ('q', 'r', 'kind', 'result', 'qdesc', 'rdesc')
 
-    def __init__(self, q, r, kind='dp'):
+    def __init__(self, q, r, kind='dp', qdesc=None, rdesc=None):
         self.q = q
         self.r = r
         # 'dp' | 'break' | 'ext_l' | 'ext_r' (end extensions; ext_l holds the
         # sequences reversed so the anchored end sits at position 0).
         self.kind = kind
         self.result = None
+        # Provenance for device-resident gathering: (src_arr, off, len, rev)
+        # describing this exact array as a (possibly reversed) slice of a
+        # host source array uploaded once per run. None -> host-array path.
+        self.qdesc = qdesc
+        self.rdesc = rdesc
+
+
+def _sub_desc(d, u, v):
+    """Descriptor for arr[u:v] where d = (src, off, ln, rev) describes arr as
+    a (reversed?) slice src[off:off+ln]."""
+    if d is None or v <= u:
+        return None
+    src, off, ln, rev = d
+    if not rev:
+        return (src, off + u, v - u, rev)
+    return (src, off + ln - v, v - u, rev)
+
+
+def _rev_desc(d):
+    """Descriptor for arr[::-1]."""
+    if d is None:
+        return None
+    src, off, ln, rev = d
+    return (src, off, ln, not rev)
 
 
 class Aligner:
@@ -405,6 +429,8 @@ class Aligner:
         is_rev = meta['is_rev']
         codes = oriented(is_rev)
         ref = self.ref_store.get(meta['chrom'])
+        qd0 = (codes, 0, qlen, False)
+        rd0 = (ref, 0, len(ref), False)
         # Original-frame contig start maps to the oriented-frame left end for
         # forward chains and the right end for reverse chains.
         left = (orig_end == 'start') != is_rev
@@ -416,7 +442,9 @@ class Aligner:
             if e <= 0 or w0 <= 0:
                 return
             seg = _Segment(codes[q_start - e:q_start][::-1].copy(),
-                           ref[r_start - w0:r_start][::-1].copy(), 'ext_l')
+                           ref[r_start - w0:r_start][::-1].copy(), 'ext_l',
+                           qdesc=_rev_desc(_sub_desc(qd0, q_start - e, q_start)),
+                           rdesc=_rev_desc(_sub_desc(rd0, r_start - w0, r_start)))
             segments.append(seg)
             meta['q_start'] = q_start - e
             meta['r_start'] = r_start - w0
@@ -428,7 +456,9 @@ class Aligner:
             if e <= 0 or w0 <= 0:
                 return
             seg = _Segment(codes[q_end:q_end + e].copy(),
-                           ref[r_end:r_end + w0].copy(), 'ext_r')
+                           ref[r_end:r_end + w0].copy(), 'ext_r',
+                           qdesc=_sub_desc(qd0, q_end, q_end + e),
+                           rdesc=_sub_desc(rd0, r_end, r_end + w0))
             segments.append(seg)
             meta['parts'].append(('seg', len(segments) - 1))
 
@@ -442,8 +472,13 @@ class Aligner:
         not the millions of contiguous anchors.
         """
         k = self.k
-        ref = self.ref_store.get(self.index.chrom_names[chain.chrom_id])
+        chrom = self.index.chrom_names[chain.chrom_id]
+        ref = self.ref_store.get(chrom)
         qpos, rpos = chain.qpos, chain.rpos
+
+        # Provenance of the oriented/ref arrays for device-resident gathering.
+        qd0 = (oriented, 0, qlen, False)
+        rd0 = (ref, 0, len(ref), False)
 
         parts = []
 
@@ -465,7 +500,9 @@ class Aligner:
                     parts.append(('cig', [[run_len, cg.EQ]]))
                 seg_q0 = q0 + k - cut
                 seg_r0 = r0 + k - cut
-                self._add_segment(oriented[seg_q0:q1], ref[seg_r0:r1], parts, segments)
+                self._add_segment(oriented[seg_q0:q1], ref[seg_r0:r1], parts, segments,
+                                  qd=_sub_desc(qd0, seg_q0, q1),
+                                  rd=_sub_desc(rd0, seg_r0, r1))
                 seg_start = bi + 1
             run_len = k + (int(qpos[-1]) - int(qpos[seg_start]))
             parts.append(('cig', [[run_len, cg.EQ]]))
@@ -480,7 +517,7 @@ class Aligner:
             'parts': parts,
         }
 
-    def _add_segment(self, sq, sr, parts, segments, depth=0):
+    def _add_segment(self, sq, sr, parts, segments, depth=0, qd=None, rd=None):
         """Register one inter-anchor gap; fast paths avoid DP when possible."""
         lq, lr = len(sq), len(sr)
         if lq == 0 and lr == 0:
@@ -508,16 +545,16 @@ class Aligner:
         # re-anchor with unique-k-mer (MUM-style) matches and recurse, turning
         # one quadratic DP into exact runs + small sub-DPs.
         if depth < 3 and min(lq, lr) >= 512:
-            if self._refine_segment(sq, sr, parts, segments, depth):
+            if self._refine_segment(sq, sr, parts, segments, depth, qd, rd):
                 return
 
-        seg = _Segment(sq, sr)
+        seg = _Segment(sq, sr, qdesc=qd, rdesc=rd)
         parts.append(('seg', len(segments)))
         segments.append(seg)
 
     _REFINE_K = 21
 
-    def _refine_segment(self, sq, sr, parts, segments, depth):
+    def _refine_segment(self, sq, sr, parts, segments, depth, qd=None, rd=None):
         """Split a big segment along collinear unique-k-mer anchors.
 
         :return: True when refinement succeeded (parts appended), False to fall
@@ -566,7 +603,8 @@ class Aligner:
         for i in range(len(aq)):
             q0, r0 = int(aq[i]), int(ar[i])
             if i == 0:
-                self._add_segment(sq[:q0], sr[:r0], parts, segments, depth + 1)
+                self._add_segment(sq[:q0], sr[:r0], parts, segments, depth + 1,
+                                  _sub_desc(qd, 0, q0), _sub_desc(rd, 0, r0))
                 run_len = k2
             else:
                 dq, dr = q0 - int(aq[i - 1]), r0 - int(ar[i - 1])
@@ -579,12 +617,16 @@ class Aligner:
                     parts.append(('cig', [[eff, cg.EQ]]))
                 sq0 = int(aq[i - 1]) + k2 - cut
                 sr0 = int(ar[i - 1]) + k2 - cut
-                self._add_segment(sq[sq0:q0], sr[sr0:r0], parts, segments, depth + 1)
+                self._add_segment(sq[sq0:q0], sr[sr0:r0], parts, segments,
+                                  depth + 1,
+                                  _sub_desc(qd, sq0, q0), _sub_desc(rd, sr0, r0))
                 run_len = k2
         if run_len > 0:
             parts.append(('cig', [[run_len, cg.EQ]]))
         self._add_segment(sq[int(aq[-1]) + k2:], sr[int(ar[-1]) + k2:],
-                          parts, segments, depth + 1)
+                          parts, segments, depth + 1,
+                          _sub_desc(qd, int(aq[-1]) + k2, len(sq)),
+                          _sub_desc(rd, int(ar[-1]) + k2, len(sr)))
         return True
 
     # ------------------------------------------------------------ DP batching
@@ -655,20 +697,46 @@ class Aligner:
                 b_pad *= 4
             return min(batch, b_pad)
 
+        # Device-resident sources: upload every host array the segments slice
+        # ONCE, then launches carry only (offset, len, rev) descriptors and
+        # the padded sequence windows are gathered on-device. Kills both the
+        # per-launch host pad/pack work and nearly all h2d bytes.
+        resident = base_map = None
+        if accel:
+            resident, base_map = _build_resident(segments, self.dp.mesh)
+
+        def launch_chunk(chunk, transposed, width_b, m_b, n_b, pad_batch):
+            if resident is not None:
+                items = []
+                for i in chunk:
+                    seg = segments[i]
+                    qd, rd = seg.qdesc, seg.rdesc
+                    if qd is None or rd is None:
+                        items = None
+                        break
+                    if transposed:
+                        qd, rd = rd, qd
+                    items.append((base_map[id(qd[0])] + qd[1], qd[2], int(qd[3]),
+                                  base_map[id(rd[0])] + rd[1], rd[2], int(rd[3])))
+                if items is not None:
+                    return self.dp.align_batch_refs_async(
+                        items, width=width_b, pad_to=(m_b, n_b),
+                        pad_batch=pad_batch, resident=resident)
+            if transposed:
+                pairs = [(segments[i].r, segments[i].q) for i in chunk]
+            else:
+                pairs = [(segments[i].q, segments[i].r) for i in chunk]
+            return self.dp.align_batch_async(
+                pairs, width=width_b, pad_to=(m_b, n_b), pad_batch=pad_batch)
+
         launches = []
         for (m_b, n_b, width_b, transposed), idx_list in sorted(buckets.items()):
-            # Batch cap per shape, sized so in-flight DP state stays bounded
-            # (~128M cells).
+            # Batch cap per shape, sized so in-flight DP state stays bounded.
             batch = _shape_batch(m_b, width_b)
             for lo in range(0, len(idx_list), batch):
                 chunk = idx_list[lo:lo + batch]
-                if transposed:
-                    pairs = [(segments[i].r, segments[i].q) for i in chunk]
-                else:
-                    pairs = [(segments[i].q, segments[i].r) for i in chunk]
-                handle = self.dp.align_batch_async(
-                    pairs, width=width_b, pad_to=(m_b, n_b),
-                    pad_batch=batch_pad(batch, len(chunk)))
+                handle = launch_chunk(chunk, transposed, width_b, m_b, n_b,
+                                      batch_pad(batch, len(chunk)))
                 launches.append((chunk, transposed, handle))
 
         retry = []
@@ -701,11 +769,9 @@ class Aligner:
                 batch = _shape_batch(m_b, n_b + 1)
                 for lo in range(0, len(idx_list), batch):
                     chunk = idx_list[lo:lo + batch]
-                    pairs = [(segments[i].r, segments[i].q) if t
-                             else (segments[i].q, segments[i].r) for i in chunk]
-                    for i, res in zip(chunk, self.dp.align_batch(
-                            pairs, width=n_b + 1, pad_to=(m_b, n_b),
-                            pad_batch=batch_pad(batch, len(chunk)))):
+                    handle = launch_chunk(chunk, t, n_b + 1, m_b, n_b,
+                                          batch_pad(batch, len(chunk)))
+                    for i, res in zip(chunk, handle()):
                         segments[i].result = _swap_ins_del(res) if t else res
 
         # Post-DP break detection: long segments that still aligned terribly.
@@ -869,6 +935,50 @@ def _lis_indices(arr):
         out.append(i)
         i = parent[i]
     return np.array(out[::-1], dtype=np.int64)
+
+
+_RESIDENT_MIN = 1 << 26   # pad the resident buffer to >= 64M so one program
+                          # shape covers every genome up to that size
+
+
+def _build_resident(segments, mesh=None):
+    """Concatenate every source array referenced by segment descriptors into
+    one device-resident int8 buffer (padded to a pow2 ladder so the gather
+    program compiles once per machine, not once per genome size).
+
+    :return: (device_array, {id(src): base_offset}) or (None, None) when no
+        segment carries descriptors.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    srcs = []
+    base_map = {}
+    total = 0
+    for seg in segments:
+        if seg.kind == 'break':
+            continue
+        for d in (seg.qdesc, seg.rdesc):
+            if d is None or id(d[0]) in base_map:
+                continue
+            base_map[id(d[0])] = total
+            srcs.append(d[0])
+            total += len(d[0])
+    if not srcs:
+        return None, None
+    pad = _RESIDENT_MIN
+    while pad < total:
+        pad <<= 1
+    buf = np.full(pad, 4, dtype=np.int8)
+    pos = 0
+    for src in srcs:
+        buf[pos:pos + len(src)] = src
+        pos += len(src)
+    arr = jnp.asarray(buf)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        arr = jax.device_put(arr, NamedSharding(mesh, P()))   # replicated
+    return arr, base_map
 
 
 def _swap_ins_del(res):

@@ -342,6 +342,30 @@ def _align_and_trace(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
                                  match, mismatch, o1, o2, e1, e2, backend_kind)
 
 
+@functools.partial(jax.jit, static_argnames=('max_m', 'max_n', 'width', 'match',
+                                             'mismatch', 'o1', 'o2', 'e1', 'e2',
+                                             'backend_kind'))
+def _align_and_trace_resident(resident, qoff, qrev, roff, rrev, m, n,
+                              max_m, max_n, width,
+                              match, mismatch, o1, o2, e1, e2,
+                              backend_kind='xla'):
+    """Device-resident variant: sequences are gathered on-device from one
+    resident int8 buffer using (offset, len, rev) descriptors — the launch
+    h2d payload is a few int32 per item instead of padded sequence bytes."""
+    L = resident.shape[0]
+
+    def gather(off, rev, ln, max_len):
+        idx = jnp.arange(max_len, dtype=jnp.int32)
+        pos = jnp.where(rev == 1, off + ln - 1 - idx, off + idx)
+        v = resident[jnp.clip(pos, 0, L - 1)]
+        return jnp.where(idx < ln, v, jnp.int8(4))
+
+    q = jax.vmap(lambda o, rv, ln: gather(o, rv, ln, max_m))(qoff, qrev, m)
+    r = jax.vmap(lambda o, rv, ln: gather(o, rv, ln, max_n))(roff, rrev, n)
+    return _align_and_trace_impl(q, r, m, n, max_m, width,
+                                 match, mismatch, o1, o2, e1, e2, backend_kind)
+
+
 def _pallas_backend_kind():
     """Select the DP backend for full-width classes: 'pallas' (compiled),
     'pallas-interp' (CPU interpreter, tests), or 'xla'. Opt-in via
@@ -562,6 +586,52 @@ class BandedAligner:
                                else B_pad * (max_m + max_n))
         STATS['dispatch_s'] += _time.time() - _t0
 
+        return self._finish(fused, B, B_pad, max_m, max_n, int(width))
+
+    def align_batch_refs_async(self, items, width, pad_to, pad_batch=None,
+                               resident=None):
+        """Device-resident launch: like align_batch_async, but sequences are
+        described as (qoff, qlen, qrev, roff, rlen, rrev) windows into a
+        resident device buffer and gathered on-device.
+
+        :param items: list of 6-tuples (offsets resolved into the resident
+            buffer; rev = 1 gathers the window reversed).
+        :param resident: int8 device array from core._build_resident.
+        """
+        sc = self.scoring
+        B = len(items)
+        max_m, max_n = int(pad_to[0]), int(pad_to[1])
+        width = min(_next_pow2(int(width)) + 1, max_n + 1)
+        B_pad = int(pad_batch) if pad_batch else max(8, _next_pow2(B))
+
+        arr = np.zeros((B_pad, 6), dtype=np.int32)
+        if B:
+            arr[:B] = np.asarray(items, dtype=np.int32)
+        arr[B:, 1] = 1   # padding items: 1-base windows
+        arr[B:, 4] = 1
+
+        import time as _time
+        _t0 = _time.time()
+        fused = _align_and_trace_resident(
+            resident,
+            self._put(arr[:, 0]), self._put(arr[:, 2]),
+            self._put(arr[:, 3]), self._put(arr[:, 5]),
+            self._put(arr[:, 1]), self._put(arr[:, 4]),
+            max_m, max_n, int(width),
+            int(sc['match']), int(sc['mismatch']),
+            int(sc['gap_open'][0]), int(sc['gap_open'][1]),
+            int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
+            backend_kind=_pallas_backend_kind())
+        STATS['launches'] += 1
+        STATS['items'] += B
+        STATS['h2d_bytes'] += arr.nbytes
+        STATS['dispatch_s'] += _time.time() - _t0
+        return self._finish(fused, B, B_pad, max_m, max_n, int(width))
+
+    def _finish(self, fused, B, B_pad, max_m, max_n, width):
+        """Build the (prefetchable) resolver for one dispatched launch."""
+        import time as _time
+
         def prefetch():
             # Start the device->host copy without blocking: with every
             # launch's transfer queued up front, sequential resolves overlap
@@ -583,7 +653,7 @@ class BandedAligner:
             buf = fetch(fused)
             _dt = _time.time() - _t1
             STATS['resolve_s'] += _dt
-            key = (max_m, max_n, int(width), B_pad)
+            key = (max_m, max_n, width, B_pad)
             cls = STATS['classes'].setdefault(key, [0, 0.0])
             cls[0] += 1
             cls[1] += _dt

@@ -138,8 +138,12 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
     accel = jax.default_backend() != 'cpu'
 
     if accel:
-        # Accelerators bucket on the coarse ladder (core._accel_bucket).
+        # Accelerators bucket on the coarse ladder (core._accel_bucket) and
+        # launch through the device-resident gather path.
+        import jax.numpy as jnp
+        from .align.aligner.core import _RESIDENT_MIN
         launches = list(_DP_SHAPES_ACCEL)
+        resident = jnp.full(_RESIDENT_MIN, 4, dtype=jnp.int8)
     else:
         launches = list(_DP_SHAPES)
         if 'large' in sizes:
@@ -153,11 +157,17 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
     def prime_one(launch):
         (m_b, n_b), width_b = launch
         t0 = time.time()
-        q = rng.integers(0, 4, max(m_b // 2, 1)).astype(np.uint8)
-        r = rng.integers(0, 4, max(n_b // 2, 1)).astype(np.uint8)
-        dp.align_batch_async(
-            [(q, r)], width=width_b, pad_to=(m_b, n_b),
-            pad_batch=_shape_batch(m_b, width_b))()
+        if accel:
+            items = [(0, max(m_b // 2, 1), 0, 64, max(n_b // 2, 1), 0)]
+            dp.align_batch_refs_async(
+                items, width=width_b, pad_to=(m_b, n_b),
+                pad_batch=_shape_batch(m_b, width_b), resident=resident)()
+        else:
+            q = rng.integers(0, 4, max(m_b // 2, 1)).astype(np.uint8)
+            r = rng.integers(0, 4, max(n_b // 2, 1)).astype(np.uint8)
+            dp.align_batch_async(
+                [(q, r)], width=width_b, pad_to=(m_b, n_b),
+                pad_batch=_shape_batch(m_b, width_b))()
         if verbose:
             sys.stderr.write(f'[prime] dp ({m_b},{n_b})w{width_b} '
                              f'{time.time() - t0:.1f}s\n')

@@ -223,9 +223,13 @@ def test_accel_bucketing_transpose_equivalence(monkeypatch):
     df_cpu = Aligner(ref_store, {'aligner_min_chain_score': 500}).align_store(
         store, 'h1')
 
-    # Force the accel branch (bucketing/transpose only; DP still runs on the
-    # CPU backend, including the 2-bit packed-transfer path).
+    # Force the accel branch (ladder bucketing, transposed DP, and the
+    # device-resident gather path; DP still executes on the CPU backend).
+    # Batch padding is capped so the padded accelerator batches stay cheap
+    # enough for CPU execution.
+    from pav_tpu.align.aligner import core as core_mod
     monkeypatch.setattr(jax, 'default_backend', lambda: 'fake-accel')
+    monkeypatch.setattr(core_mod, '_shape_batch', lambda m_b, w_b: 16)
     df_acc = Aligner(ref_store, {'aligner_min_chain_score': 500}).align_store(
         store, 'h1')
 

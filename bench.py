@@ -233,6 +233,9 @@ def main():
         f'[bench] device DP: {st["launches"]} launches, {st["items"]} items, '
         f'h2d {st["h2d_bytes"] / 1e6:.1f}MB, d2h {st["d2h_bytes"] / 1e6:.1f}MB, '
         f'dispatch {st["dispatch_s"]:.2f}s, resolve-wait {st["resolve_s"]:.2f}s\n')
+    from pav_tpu.align.aligner.core import ALIGN_STATS
+    sys.stderr.write('[bench] align phases: ' + '  '.join(
+        f'{k}={v:.2f}s' for k, v in ALIGN_STATS.items()) + '\n')
 
     value = contig_mbp / elapsed
     print(json.dumps({

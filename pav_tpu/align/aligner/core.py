@@ -30,6 +30,16 @@ from .chain import find_chains
 from .index import MinimizerIndex
 
 _MIN_WIDTH = 65
+
+# Per-run align-stage phase accounting (seconds, summed across haps/threads;
+# reset via align_stats_reset, surfaced by bench.py).
+ALIGN_STATS = {'plan_s': 0.0, 'resident_s': 0.0, 'dp_s': 0.0, 'emit_s': 0.0,
+               'chains_s': 0.0, 'plan_chain_s': 0.0, 'select_s': 0.0}
+
+
+def align_stats_reset():
+    for k in ALIGN_STATS:
+        ALIGN_STATS[k] = 0.0
 _DIRECT_MISMATCH_FRAC = 0.05
 _BREAK_MIN_LEN = 400        # segments at least this long can break an alignment
 _BREAK_MISMATCH_FRAC = 0.30  # pre-DP: equal-length segment mismatch fraction
@@ -246,13 +256,16 @@ class Aligner:
 
         def plan_contig(qry_name):
             """Seed/chain/select/plan one contig into its own segment list."""
+            import time as _time
             codes = qry_store.get(qry_name)
             qlen = len(codes)
             segments = []
+            _t = _time.time()
             chains = find_chains(
                 codes, self.index, max_occ=self.max_occ,
                 max_dist=self.chain_max_dist, max_gap_diff=self.chain_max_gap,
                 min_chain_score=min_score)
+            ALIGN_STATS['chains_s'] += _time.time() - _t
 
             oriented_cache = {}
 
@@ -262,22 +275,30 @@ class Aligner:
                 return oriented_cache[is_rev]
 
             # Pass 1: primary selection by original-frame query-span overlap.
+            _t = _time.time()
             accepted, spans = self._select(chains, qlen, [])
+            ALIGN_STATS['select_s'] += _time.time() - _t
+            _t = _time.time()
             metas = [
                 self._plan_chain(c, qry_name, qlen, oriented(c.is_rev), segments)
                 for c in accepted
             ]
+            ALIGN_STATS['plan_chain_s'] += _time.time() - _t
 
             # Coverage excluding break segments; pass 2 fills the gaps
             # (e.g. the inverted core of a bridged inversion).
+            _t = _time.time()
             covered = []
             for meta in metas:
                 covered.extend(self._covered_spans(meta, segments, qlen))
             remaining = [c for c in chains if c not in accepted]
             accepted2, _ = self._select(remaining, qlen, covered)
+            ALIGN_STATS['select_s'] += _time.time() - _t
+            _t = _time.time()
             for c in accepted2:
                 metas.append(self._plan_chain(
                     c, qry_name, qlen, oriented(c.is_rev), segments))
+            ALIGN_STATS['plan_chain_s'] += _time.time() - _t
 
             # Semi-global end extension: chains stop at their terminal anchors,
             # leaving anchor-free contig tails (e.g. SNV-dense divergence)
@@ -287,7 +308,10 @@ class Aligner:
             self._plan_end_extensions(metas, segments, qlen, oriented)
             return metas, segments
 
+        import time as _time
+
         names = qry_store.names()
+        _t0 = _time.time()
         if len(names) > 1:
             # Contigs are independent until DP batching; the hot pieces
             # (native sketch/chain, numpy) release the GIL.
@@ -309,9 +333,15 @@ class Aligner:
                 ]
                 chain_meta.append(meta)
             segments.extend(segs)
+        ALIGN_STATS['plan_s'] += _time.time() - _t0
 
+        _t0 = _time.time()
         self._run_segments(segments)
-        return self._emit_table(chain_meta, segments, hap)
+        ALIGN_STATS['dp_s'] += _time.time() - _t0
+        _t0 = _time.time()
+        table = self._emit_table(chain_meta, segments, hap)
+        ALIGN_STATS['emit_s'] += _time.time() - _t0
+        return table
 
     # -------------------------------------------------------------- selection
 
@@ -703,7 +733,10 @@ class Aligner:
         # per-launch host pad/pack work and nearly all h2d bytes.
         resident = base_map = None
         if accel:
+            import time as _time
+            _t0 = _time.time()
             resident, base_map = _build_resident(segments, self.dp.mesh)
+            ALIGN_STATS['resident_s'] += _time.time() - _t0
 
         def launch_chunk(chunk, transposed, width_b, m_b, n_b, pad_batch):
             if resident is not None:
@@ -969,11 +1002,16 @@ def _build_resident(segments, mesh=None):
     pad = _RESIDENT_MIN
     while pad < total:
         pad <<= 1
-    buf = np.full(pad, 4, dtype=np.int8)
+    # np.empty + a small guard region instead of a full-pad memset: gathers
+    # only read inside [0, total) plus clipped positions near total (window
+    # starts are always in-source; padding items read index 0).
+    buf = np.empty(pad, dtype=np.int8)
     pos = 0
     for src in srcs:
         buf[pos:pos + len(src)] = src
         pos += len(src)
+    buf[total:min(total + (1 << 16), pad)] = 4
+    buf[pad - 1] = 4
     arr = jnp.asarray(buf)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

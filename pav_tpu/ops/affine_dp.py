@@ -345,13 +345,14 @@ def _align_and_trace(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
 @functools.partial(jax.jit, static_argnames=('max_m', 'max_n', 'width', 'match',
                                              'mismatch', 'o1', 'o2', 'e1', 'e2',
                                              'backend_kind'))
-def _align_and_trace_resident(resident, qoff, qrev, roff, rrev, m, n,
+def _align_and_trace_resident(resident, desc,
                               max_m, max_n, width,
                               match, mismatch, o1, o2, e1, e2,
                               backend_kind='xla'):
     """Device-resident variant: sequences are gathered on-device from one
     resident int8 buffer using (offset, len, rev) descriptors — the launch
-    h2d payload is a few int32 per item instead of padded sequence bytes."""
+    h2d payload is ONE [B, 6] int32 array (columns: qoff, qlen, qrev, roff,
+    rlen, rrev) instead of padded sequence bytes."""
     L = resident.shape[0]
 
     def gather(off, rev, ln, max_len):
@@ -360,10 +361,20 @@ def _align_and_trace_resident(resident, qoff, qrev, roff, rrev, m, n,
         v = resident[jnp.clip(pos, 0, L - 1)]
         return jnp.where(idx < ln, v, jnp.int8(4))
 
-    q = jax.vmap(lambda o, rv, ln: gather(o, rv, ln, max_m))(qoff, qrev, m)
-    r = jax.vmap(lambda o, rv, ln: gather(o, rv, ln, max_n))(roff, rrev, n)
+    m = desc[:, 1]
+    n = desc[:, 4]
+    q = jax.vmap(lambda d: gather(d[0], d[2], d[1], max_m))(desc)
+    r = jax.vmap(lambda d: gather(d[3], d[5], d[4], max_n))(desc)
     return _align_and_trace_impl(q, r, m, n, max_m, width,
                                  match, mismatch, o1, o2, e1, e2, backend_kind)
+
+
+@functools.partial(jax.jit, static_argnames=('rows',))
+def _slice_rows(arr, rows):
+    """Static leading-dim slice: drops batch padding before the d2h transfer
+    (padding rows dominate transfer bytes when a fixed-batch launch is
+    part-full; one compiled program per (shape, pow2-rows) pair)."""
+    return arr[:rows]
 
 
 def _pallas_backend_kind():
@@ -613,10 +624,7 @@ class BandedAligner:
         import time as _time
         _t0 = _time.time()
         fused = _align_and_trace_resident(
-            resident,
-            self._put(arr[:, 0]), self._put(arr[:, 2]),
-            self._put(arr[:, 3]), self._put(arr[:, 5]),
-            self._put(arr[:, 1]), self._put(arr[:, 4]),
+            resident, self._put(arr),
             max_m, max_n, int(width),
             int(sc['match']), int(sc['mismatch']),
             int(sc['gap_open'][0]), int(sc['gap_open'][1]),
@@ -631,6 +639,13 @@ class BandedAligner:
     def _finish(self, fused, B, B_pad, max_m, max_n, width):
         """Build the (prefetchable) resolver for one dispatched launch."""
         import time as _time
+
+        # Drop batch padding on-device before the transfer: a part-full
+        # fixed-batch launch would otherwise move mostly-padding tape bytes
+        # over a ~10 MB/s d2h link.
+        rows = max(8, _next_pow2(B))
+        if rows < B_pad:
+            fused = _slice_rows(fused, rows=rows)
 
         def prefetch():
             # Start the device->host copy without blocking: with every

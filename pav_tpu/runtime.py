@@ -36,9 +36,15 @@ def retain_heap(warm_bytes=0):
     try:
         libc = ctypes.CDLL('libc.so.6', use_errno=True)
         M_TRIM_THRESHOLD, M_MMAP_THRESHOLD, M_MMAP_MAX = -1, -3, -4
+        M_ARENA_MAX = -8
         ok = (libc.mallopt(M_MMAP_THRESHOLD, 2**31 - 1)
               and libc.mallopt(M_MMAP_MAX, 0)
               and libc.mallopt(M_TRIM_THRESHOLD, 2**31 - 1))
+        # One malloc arena for ALL threads: per-thread arenas defeat page
+        # retention — every worker pool faults a fresh heap segment instead
+        # of reusing the warmed pages (measured 10x slowdown of concurrent
+        # native planning on lazily-restored VM memory).
+        libc.mallopt(M_ARENA_MAX, 1)
     except Exception:
         return False
     if ok and warm_bytes > 0:

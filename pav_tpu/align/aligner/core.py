@@ -680,14 +680,16 @@ class Aligner:
             m, n = len(seg.q), len(seg.r)
             if accel:
                 # Accelerators: coarse ladder — padded compute is cheap on
-                # the chip, compiles are not (see _ACCEL_LADDER). Segments
-                # run transposed when the query side is longer: global DP is
-                # symmetric under (q<->r, I<->D), the scan is sequential over
-                # rows, and rows = the shorter side minimizes scan depth.
-                if m > n:
-                    buckets[_accel_bucket(n, m) + (True,)].append(si)
-                else:
-                    buckets[_accel_bucket(m, n) + (False,)].append(si)
+                # the chip, compiles and launch round trips are not (see
+                # _ACCEL_LADDER). Segments run transposed when the query
+                # side is longer: global DP is symmetric under (q<->r,
+                # I<->D), the scan is sequential over rows, and rows = the
+                # shorter side minimizes scan depth. The transpose is a
+                # per-ITEM flag, not a bucket key — both directions share a
+                # launch.
+                t = m > n
+                a, b = (n, m) if t else (m, n)
+                buckets[_accel_bucket(a, b)].append((si, t))
                 continue
             # CPU: fine-grained pow2 classes — local compiles are cheap,
             # padded compute is not. Rows (query) and columns (ref) pad
@@ -705,7 +707,13 @@ class Aligner:
             else:
                 width = min(2 * abs(m - n) + _MIN_WIDTH, n + 1)
                 width_b = min(_bucket_pow2(width, lo=256) + 1, n_b + 1)
-            buckets[(m_b, n_b, width_b, False)].append(si)
+            buckets[(m_b, n_b, width_b)].append((si, False))
+
+        if accel:
+            # Launch round trips dominate part-full launches on the tunneled
+            # link (~0.5s each): fold classes whose item count is far below
+            # their batch cap into a wider neighbor (full width stays exact).
+            buckets = _coalesce_buckets(buckets)
 
         # Two-phase: dispatch every bucket to the device first, then collect —
         # transfers overlap compute and each other (async dispatch). Batch size
@@ -738,16 +746,17 @@ class Aligner:
             resident, base_map = _build_resident(segments, self.dp.mesh)
             ALIGN_STATS['resident_s'] += _time.time() - _t0
 
-        def launch_chunk(chunk, transposed, width_b, m_b, n_b, pad_batch):
+        def launch_chunk(chunk, width_b, m_b, n_b, pad_batch):
+            """chunk: list of (segment_index, transposed) entries."""
             if resident is not None:
                 items = []
-                for i in chunk:
+                for i, t in chunk:
                     seg = segments[i]
                     qd, rd = seg.qdesc, seg.rdesc
                     if qd is None or rd is None:
                         items = None
                         break
-                    if transposed:
+                    if t:
                         qd, rd = rd, qd
                     items.append((base_map[id(qd[0])] + qd[1], qd[2], int(qd[3]),
                                   base_map[id(rd[0])] + rd[1], rd[2], int(rd[3])))
@@ -755,31 +764,29 @@ class Aligner:
                     return self.dp.align_batch_refs_async(
                         items, width=width_b, pad_to=(m_b, n_b),
                         pad_batch=pad_batch, resident=resident)
-            if transposed:
-                pairs = [(segments[i].r, segments[i].q) for i in chunk]
-            else:
-                pairs = [(segments[i].q, segments[i].r) for i in chunk]
+            pairs = [(segments[i].r, segments[i].q) if t
+                     else (segments[i].q, segments[i].r) for i, t in chunk]
             return self.dp.align_batch_async(
                 pairs, width=width_b, pad_to=(m_b, n_b), pad_batch=pad_batch)
 
         launches = []
-        for (m_b, n_b, width_b, transposed), idx_list in sorted(buckets.items()):
+        for (m_b, n_b, width_b), entries in sorted(buckets.items()):
             # Batch cap per shape, sized so in-flight DP state stays bounded.
             batch = _shape_batch(m_b, width_b)
-            for lo in range(0, len(idx_list), batch):
-                chunk = idx_list[lo:lo + batch]
-                handle = launch_chunk(chunk, transposed, width_b, m_b, n_b,
+            for lo in range(0, len(entries), batch):
+                chunk = entries[lo:lo + batch]
+                handle = launch_chunk(chunk, width_b, m_b, n_b,
                                       batch_pad(batch, len(chunk)))
-                launches.append((chunk, transposed, handle))
+                launches.append((chunk, handle))
 
         retry = []
-        all_results = _resolve_handles([h for _, _, h in launches])
-        for (chunk, transposed, handle), results in zip(launches, all_results):
-            for i, res in zip(chunk, results):
+        all_results = _resolve_handles([h for _, h in launches])
+        for (chunk, handle), results in zip(launches, all_results):
+            for (i, t), res in zip(chunk, results):
                 if res is None:
                     retry.append(i)
                 else:
-                    segments[i].result = _swap_ins_del(res) if transposed else res
+                    segments[i].result = _swap_ins_del(res) if t else res
         if retry:
             # Band-escaping paths (e.g. opposing gaps) re-run at full width,
             # grouped into the same canonical shape classes (width = n_b + 1)
@@ -797,14 +804,14 @@ class Aligner:
                 else:
                     m_b = _bucket_pow2(m, lo=16)
                     n_b = _bucket_pow2(n, lo=16)
-                regroup[(m_b, n_b, t)].append(i)
-            for (m_b, n_b, t), idx_list in sorted(regroup.items()):
+                regroup[(m_b, n_b)].append((i, t))
+            for (m_b, n_b), entries in sorted(regroup.items()):
                 batch = _shape_batch(m_b, n_b + 1)
-                for lo in range(0, len(idx_list), batch):
-                    chunk = idx_list[lo:lo + batch]
-                    handle = launch_chunk(chunk, t, n_b + 1, m_b, n_b,
+                for lo in range(0, len(entries), batch):
+                    chunk = entries[lo:lo + batch]
+                    handle = launch_chunk(chunk, n_b + 1, m_b, n_b,
                                           batch_pad(batch, len(chunk)))
-                    for i, res in zip(chunk, handle()):
+                    for (i, t), res in zip(chunk, handle()):
                         segments[i].result = _swap_ins_del(res) if t else res
 
         # Post-DP break detection: long segments that still aligned terribly.
@@ -968,6 +975,42 @@ def _lis_indices(arr):
         out.append(i)
         i = parent[i]
     return np.array(out[::-1], dtype=np.int64)
+
+
+def _coalesce_buckets(buckets):
+    """Fold part-full full-width accelerator classes into wider neighbors.
+
+    On latency-bound device links every launch costs a fixed round trip
+    (~0.5s observed mid-run), while running a small item inside a wider
+    full-width class costs only padded VPU compute. A class whose item count
+    is below a quarter of its batch cap merges into the next rung (wider n
+    first, then deeper m, never into banded or 8192-row classes). At genome
+    scale classes fill their batches and no folding happens.
+    """
+    changed = True
+    while changed:
+        changed = False
+        for key in sorted(buckets):
+            m_b, n_b, width_b = key
+            if width_b != n_b + 1:
+                continue                      # banded classes stay put
+            entries = buckets[key]
+            if len(entries) >= max(_shape_batch(m_b, width_b) // 4, 2):
+                continue
+            # Merge only INTO an existing subsuming full-width class — a lone
+            # part-full class costs one launch wherever it lives; promotion
+            # pays off only when it joins another class's launch.
+            cands = [k for k in buckets
+                     if k != key and k[2] == k[1] + 1
+                     and k[0] >= m_b and k[1] >= n_b and k[0] <= 2048]
+            if not cands:
+                continue
+            tgt = min(cands, key=lambda k: (k[0], k[1]))
+            buckets[tgt].extend(entries)
+            del buckets[key]
+            changed = True
+            break
+    return buckets
 
 
 _RESIDENT_MIN = 1 << 26   # pad the resident buffer to >= 64M so one program

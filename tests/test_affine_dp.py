@@ -209,3 +209,30 @@ def test_accel_bucket_covers_primed_widths():
         if not ((m_b == n_b == 8192 and n - m > 992)
                 or (m_b == 2048 and n_b == 8192)):
             assert (m_b, n_b, w) in primed, (m, n, m_b, n_b, w)
+
+
+def test_coalesce_buckets():
+    """Part-full full-width classes fold into wider neighbors; full and
+    banded classes stay put."""
+    from pav_tpu.align.aligner.core import _coalesce_buckets, _shape_batch
+
+    small = [(i, False) for i in range(10)]
+    small2 = [(i, True) for i in range(20)]
+    big = [(i, True) for i in range(_shape_batch(64, 65))]
+    # Part-full classes merge into an existing subsuming class (one launch).
+    out = _coalesce_buckets({(64, 64, 65): list(small),
+                             (64, 256, 257): list(small2),
+                             (256, 2048, 2049): list(small)})
+    assert list(out) == [(256, 2048, 2049)]
+    assert len(out[(256, 2048, 2049)]) == 40
+    # A lone part-full class stays (no target to join).
+    out = _coalesce_buckets({(64, 64, 65): list(small)})
+    assert list(out) == [(64, 64, 65)]
+    # A full class is never merged away.
+    out = _coalesce_buckets({(64, 64, 65): list(big),
+                             (64, 256, 257): list(small)})
+    assert (64, 64, 65) in out
+    # Banded classes neither move nor receive.
+    out = _coalesce_buckets({(8192, 8192, 512): list(small),
+                             (64, 64, 65): list(small2)})
+    assert set(out) == {(8192, 8192, 512), (64, 64, 65)}

@@ -420,7 +420,8 @@ class Pipeline:
                 qry_filter_df=qry_filters.get(hap))
 
         hap_list = list(hap_results.keys())
-        merged = self._merge_all(asm_name, hap_results, hap_list, cfg)
+        with self._timed(asm_name, 'merge'):
+            merged = self._merge_all(asm_name, hap_results, hap_list, cfg)
 
         vcf_path = None
         if write_vcf:
@@ -428,42 +429,48 @@ class Pipeline:
             prefix = cfg.get('vcf_prefix', '') or ''
             vcf_path = os.path.join(out_dir, f'{prefix}{asm_name}.vcf.gz')
             self._logmsg(f'{asm_name}: writing VCF {vcf_path}')
-            vcf_mod.write_merged_vcf(
-                asm_name,
-                {key: df for key, df in merged.items()},
-                vcf_path, self.ref_store, self.ref_info)
+            with self._timed(asm_name, 'vcf'):
+                vcf_mod.write_merged_vcf(
+                    asm_name,
+                    {key: df for key, df in merged.items()},
+                    vcf_path, self.ref_store, self.ref_info)
 
         if self.run_dir:
-            self._write_artifacts(asm_name, hap_results, merged,
-                                   stores=dict(to_run))
+            with self._timed(asm_name, 'artifacts'):
+                self._write_artifacts(asm_name, hap_results, merged,
+                                      stores=dict(to_run))
 
         return {'haps': hap_results, 'merged': merged, 'vcf': vcf_path}
 
-    def _write_inv_figures(self, hdir, res, qry_store):
-        """Persist each accepted inversion's k-mer density table and emit the
-        dotplot + density figures the reference generates as run outputs."""
+    def _write_inv_figures(self, hdir, res, qry_store, figures=True):
+        """Persist each accepted inversion's k-mer density table and (with
+        figures=True, config artifacts=full) the dotplot + density figures the
+        reference generates as separate figure targets."""
         if not res.inv_calls:
             return
-        import matplotlib
-        matplotlib.use('Agg')
-        import matplotlib.pyplot as plt
+        if figures:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
 
-        from . import plot as plot_mod
+            from . import plot as plot_mod
 
         dens_dir = os.path.join(hdir, 'inv_density')
         fig_dir = os.path.join(hdir, 'figures')
         os.makedirs(dens_dir, exist_ok=True)
-        os.makedirs(fig_dir, exist_ok=True)
+        if figures:
+            os.makedirs(fig_dir, exist_ok=True)
         for inv_call in res.inv_calls:
             safe_id = inv_call.id.replace('/', '_')
             if inv_call.df is not None:
                 inv_call.df.to_csv(
                     os.path.join(dens_dir, f'{safe_id}.tsv.gz'),
                     sep='\t', index=False, compression='gzip')
-                plot_mod.density_plot(
-                    inv_call.df, title=inv_call.id,
-                    out_path=os.path.join(fig_dir, f'{safe_id}_density.png'))
-            if qry_store is not None:
+                if figures:
+                    plot_mod.density_plot(
+                        inv_call.df, title=inv_call.id,
+                        out_path=os.path.join(fig_dir, f'{safe_id}_density.png'))
+            if figures and qry_store is not None:
                 ref_codes = self.ref_store.fetch_region(
                     inv_call.region_ref_discovery, rev_compl=False)
                 tig_codes = qry_store.fetch_region(inv_call.region_tig_discovery)
@@ -536,6 +543,17 @@ class Pipeline:
         return merged
 
     def _write_artifacts(self, asm_name, hap_results, merged, stores=None):
+        """Persist run outputs.
+
+        The `artifacts` config selects the level: 'calls' (default) writes
+        the stage call/alignment tables (everything resume and inspection
+        need) plus per-inversion density tables; 'full' additionally emits
+        the side outputs the reference builds as separate optional targets —
+        dot/density figures (rules/figures.snakefile:97-269), BAM/CRAM
+        (rules/align.snakefile:305-327), and browser tracks
+        (rules/tracks.snakefile:99-307).
+        """
+        full = str(self.config.get('artifacts', 'calls')) == 'full'
         base = os.path.join(self.run_dir, asm_name)
         os.makedirs(base, exist_ok=True)
         for hap, res in hap_results.items():
@@ -560,9 +578,13 @@ class Pipeline:
             # Per-inversion density tables + dot/density figures (reference:
             # rules/call_inv.snakefile:279-282, rules/figures.snakefile:97-269).
             try:
-                self._write_inv_figures(hdir, res, stores.get(hap) if stores else None)
+                self._write_inv_figures(hdir, res,
+                                        stores.get(hap) if stores else None,
+                                        figures=full)
             except Exception as ex:  # side outputs, never fatal
                 self._logmsg(f'{hap}: inversion figure emission failed: {ex}')
+            if not full:
+                continue
             # Reconstructed alignments as indexed BAM + CRAM (the reference
             # emits CRAM as a troubleshooting output via samtools:
             # rules/align.snakefile:305-327; both containers are written

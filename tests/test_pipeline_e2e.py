@@ -42,7 +42,7 @@ def diploid_run(tmp_path_factory):
 
     run_dir = str(tmp_path_factory.mktemp('pav_run'))
     pipeline = Pipeline(SeqStore({'chr1': ref}),
-                        {'aligner_min_chain_score': 500},
+                        {'aligner_min_chain_score': 500, 'artifacts': 'full'},
                         run_dir=run_dir)
     result = pipeline.run_sample(
         'samp1',

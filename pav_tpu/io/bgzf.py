@@ -17,9 +17,11 @@ BGZF_EOF = bytes.fromhex(
 )
 
 
-def _compress_block(data):
+def _compress_block(data, level=2):
+    # Level 2: ~3x faster than the zlib default with ~10-15% larger blocks —
+    # BGZF spends its time in deflate, and these are regenerable artifacts.
     crc = zlib.crc32(data) & 0xFFFFFFFF
-    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = zlib.compressobj(level, zlib.DEFLATED, -15)
     payload = comp.compress(data) + comp.flush()
     bsize = len(payload) + 25 + 1  # header(12) + XLEN extra(6) + payload + crc(4) + isize(4) = 26+len-1 stored
     header = struct.pack(

@@ -465,7 +465,7 @@ class Pipeline:
             if inv_call.df is not None:
                 inv_call.df.to_csv(
                     os.path.join(dens_dir, f'{safe_id}.tsv.gz'),
-                    sep='\t', index=False, compression='gzip')
+                    sep='\t', index=False, compression={'method': 'gzip', 'compresslevel': 2})
                 if figures:
                     plot_mod.density_plot(
                         inv_call.df, title=inv_call.id,
@@ -570,11 +570,11 @@ class Pipeline:
                     ('sv_inv', res.df_inv), ('callable', res.callable)):
                 if df is not None:
                     df.to_csv(os.path.join(hdir, f'{name}.tsv.gz'), sep='\t',
-                              index=False, compression='gzip')
+                              index=False, compression={'method': 'gzip', 'compresslevel': 2})
             if res.fail_redundant:
                 for varsvtype, df in res.fail_redundant.items():
                     df.to_csv(os.path.join(hdir, f'fail_redundant_{varsvtype}.tsv.gz'),
-                              sep='\t', index=False, compression='gzip')
+                              sep='\t', index=False, compression={'method': 'gzip', 'compresslevel': 2})
             # Per-inversion density tables + dot/density figures (reference:
             # rules/call_inv.snakefile:279-282, rules/figures.snakefile:97-269).
             try:
@@ -615,7 +615,7 @@ class Pipeline:
                 self._logmsg(f'{hap}: track emission failed: {ex}')
         for (varsvtype, tier), df in merged.items():
             df.to_csv(os.path.join(base, f'merged_{varsvtype}_{tier}.tsv.gz'),
-                      sep='\t', index=False, compression='gzip')
+                      sep='\t', index=False, compression={'method': 'gzip', 'compresslevel': 2})
 
 
 def run(ref_path, asm_table_path, config=None, run_dir='pav_run', samples=None,

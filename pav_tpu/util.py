@@ -109,14 +109,12 @@ class IntervalIndex:
         if len(self.starts) == 0 or qe <= qs:
             return np.zeros(0, dtype=np.int64)
         hi = np.searchsorted(self.starts, qe, side='left')
-        # Scan left from hi; stop when running max end <= qs.
-        hits = []
-        i = hi - 1
-        while i >= 0 and self.max_end_prefix[i] > qs:
-            if self.ends[i] > qs:
-                hits.append(i)
-            i -= 1
-        return self.order[np.asarray(hits[::-1], dtype=np.int64)] if hits else np.zeros(0, dtype=np.int64)
+        # max_end_prefix is non-decreasing: every index < lo has end <= qs.
+        lo = np.searchsorted(self.max_end_prefix[:hi], qs, side='right')
+        sel = np.nonzero(self.ends[lo:hi] > qs)[0]
+        if len(sel) == 0:
+            return np.zeros(0, dtype=np.int64)
+        return self.order[sel + lo]
 
     def any_contains(self, qs, qe):
         """True if any interval fully contains [qs, qe]."""

@@ -71,23 +71,24 @@ def write_merged_vcf(asm_name, input_dict, output_filename, ref_store,
 
         if 'FILTER' not in df.columns:
             df['FILTER'] = 'PASS'
-        df['FILTER'] = df['FILTER'].apply(
-            lambda v: str(v).strip().replace(',', ';') if not pd.isnull(v) and str(v).strip() else 'PASS')
+        filt = df['FILTER'].fillna('').astype(str).str.strip().str.replace(',', ';')
+        df['FILTER'] = filt.where(filt != '', 'PASS')
+        # Vocabulary check over the (few) distinct values, not every row.
         unknown = set()
-        for val in df['FILTER']:
-            unknown |= set(val.split(';')) - known_filters
+        for val in df['FILTER'].unique():
+            unknown |= set(str(val).split(';')) - known_filters
         if unknown:
             raise ValueError(f'Unknown filter(s) in variant table: {sorted(unknown)[:3]}')
 
         if vartype != 'svindel':
             df['VARTYPE'] = vartype.upper()
         else:
-            df['VARTYPE'] = df['SVLEN'].apply(lambda l: 'SV' if l >= 50 else 'INDEL')
+            df['VARTYPE'] = np.where(df['SVLEN'].astype(int) >= 50, 'SV', 'INDEL')
 
         for col in ('HAP', 'HAP_VARIANTS', 'CALL_SOURCE', 'QRY_REGION', 'QRY_STRAND',
                     'COV_MEAN', 'COV_PROP', 'RGN_REF_INNER', 'RGN_QRY_INNER'):
             if col in df.columns:
-                df[col] = df[col].astype(str).apply(lambda v: v.replace(';', ','))
+                df[col] = df[col].astype(str).str.replace(';', ',')
 
         if svtype == 'del':
             df['SVLEN'] = -np.abs(df['SVLEN'].astype(int))
@@ -112,18 +113,24 @@ def write_merged_vcf(asm_name, input_dict, output_filename, ref_store,
             info = info + np.where(comp != '', ';COMPOUND=' + comp, '')
         df['INFO'] = info
 
-        # REF anchor base (base before the event; reference: vcf.py:200-211).
+        # REF anchor base (base before the event; reference: vcf.py:200-211),
+        # gathered per chromosome with one fancy index.
         if 'REF' not in df.columns:
-            refs = []
-            for chrom, pos in zip(df['#CHROM'], df['POS']):
-                p = max(0, int(pos) - 1)
-                refs.append(seqcodec.decode(ref_store.get(chrom)[p:p + 1]).upper())
+            base_lut = np.array(['A', 'C', 'G', 'T', 'N'], dtype='<U1')
+            refs = np.empty(df.shape[0], dtype='<U1')
+            chrom_arr = df['#CHROM'].to_numpy()
+            pos_arr = df['POS'].to_numpy().astype(np.int64)
+            for chrom in pd.unique(df['#CHROM']):
+                sel = chrom_arr == chrom
+                codes = ref_store.get(chrom)
+                p = np.clip(pos_arr[sel] - 1, 0, len(codes) - 1)
+                refs[sel] = base_lut[np.clip(codes[p], 0, 4)]
             df['REF'] = refs
 
         # ALT construction
         if vartype != 'snv':
             if is_symbolic:
-                df['ALT'] = df['SVTYPE'].apply(lambda v: f'<{v}>')
+                df['ALT'] = '<' + df['SVTYPE'].astype(str) + '>'
                 if is_info_seq and 'SEQ' in df.columns:
                     df['INFO'] = df['INFO'] + ';SEQ=' + df['SEQ'].astype(str)
             else:
@@ -188,14 +195,23 @@ def write_merged_vcf(asm_name, input_dict, output_filename, ref_store,
         out.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
         out.write('\t'.join(df.columns))
         out.write('\n')
-        for _, row in df.iterrows():
-            vs = out.tell_virtual()
-            out.write('\t'.join(str(v) for v in row))
-            out.write('\n')
-            beg = int(row['POS']) - 1
-            tbi_records.append((str(row['#CHROM']), beg,
-                                beg + max(len(str(row['REF'])), 1),
-                                vs, out.tell_virtual()))
+        # Columnar line assembly (one vectorized concat), then a tight write
+        # loop that only records per-record virtual offsets for the index.
+        if df.shape[0]:
+            cols = [df[c].astype(str).to_numpy(dtype=object) for c in df.columns]
+            lines = cols[0]
+            for c in cols[1:]:
+                lines = lines + '\t' + c
+            chroms = cols[0]
+            begs = df['POS'].to_numpy().astype(np.int64) - 1
+            ends = begs + np.maximum(
+                df['REF'].astype(str).str.len().to_numpy(), 1)
+            for i in range(len(lines)):
+                vs = out.tell_virtual()
+                out.write(lines[i])
+                out.write('\n')
+                tbi_records.append((chroms[i], int(begs[i]), int(ends[i]),
+                                    vs, out.tell_virtual()))
 
     # Tabix index (reference runs the external tabix binary:
     # rules/vcf.snakefile:97). Remove any stale index first so a failed write

@@ -36,7 +36,7 @@ NEG = jnp.int32(-(1 << 29))
 # is noise next to the launch itself — and surfaced by bench.py to show
 # how many round trips the engine makes on latency-bound links.
 STATS = {'launches': 0, 'items': 0, 'h2d_bytes': 0, 'd2h_bytes': 0,
-         'resolve_s': 0.0, 'dispatch_s': 0.0,
+         'resolve_s': 0.0, 'dispatch_s': 0.0, 'prefetch_s': 0.0,
          'classes': {}}  # (max_m, max_n, width, B_pad) -> [launches, resolve_s]
 
 
@@ -653,10 +653,12 @@ class BandedAligner:
             # all transfers while keeping exactly ONE blocking reader on the
             # link (concurrent blocking reads on the tunneled transport are a
             # stall trigger; see _resolve_handles).
+            _t1 = _time.time()
             try:
                 fused.copy_to_host_async()
             except Exception:
                 pass    # optional acceleration; resolve() blocks regardless
+            STATS['prefetch_s'] += _time.time() - _t1
 
         def resolve():
             # One transfer per launch; slice on host. (Device-side `arr[:B]`

@@ -177,6 +177,12 @@ def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=Non
         df = df.reset_index(drop=True)
         dfs.append(df)
 
+    if strat.engine == 'nrsnv':
+        # The nrsnv engine matches on exact (chrom, POS, REF, ALT) equality
+        # only (_match_arrays), so the whole merge is a vectorized key join —
+        # no per-row interval lookups.
+        return _merge_nrsnv_exact(dfs, sample_names)
+
     # Per-source column arrays (avoids per-row Series construction in the
     # matching loop).
     arrs = [_source_arrays(df, strat) for df in dfs]
@@ -273,6 +279,97 @@ def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=Non
     out['MERGE_MATCH'] = [','.join(_fmt(s[6]) for s in sup) for sup in sup_ordered]
     out['MERGE_SRC_ID'] = out['ID']
 
+    out = out.sort_values(['#CHROM', 'POS', 'END', 'ID']).reset_index(drop=True)
+    return out
+
+
+_MERGE_COLS = ['MERGE_SAMPLES', 'MERGE_VARIANTS', 'MERGE_RO', 'MERGE_OFFSET',
+               'MERGE_SZRO', 'MERGE_OFFSZ', 'MERGE_MATCH', 'MERGE_SRC',
+               'MERGE_SRC_ID']
+
+
+def _merge_nrsnv_exact(dfs, sample_names):
+    """Vectorized nrsnv merge: one factorize over (chrom, POS, REF, ALT,
+    SVTYPE) keys replaces the per-row candidate loop.
+
+    Equivalent to the generic engine for nrsnv: every key-equal pair matches
+    with metrics (1, 0, 1, 0, 1), and a source's k-th duplicate of a key
+    claims the k-th existing lead of that key (the claim-set semantics), so
+    pairing on (key, within-source occurrence rank) reproduces the loop
+    exactly.
+    """
+    keys_l, srcs_l, rows_l, ids_l = [], [], [], []
+    for si, df in enumerate(dfs):
+        n = df.shape[0]
+        if n == 0:
+            continue
+        # \x1f (unit separator), NOT NUL: pandas 3.x factorize hashes
+        # arrow-backed strings only up to the first NUL byte.
+        k = (df['#CHROM'].astype(str) + '\x1f' + df['POS'].astype(str)
+             + '\x1f' + df['REF'].astype(str).str.upper()
+             + '\x1f' + df['ALT'].astype(str).str.upper())
+        if 'SVTYPE' in df.columns:
+            k = k + '\x1f' + df['SVTYPE'].astype(str)
+        keys_l.append(k.to_numpy(dtype=object))
+        srcs_l.append(np.full(n, si, dtype=np.int64))
+        rows_l.append(np.arange(n, dtype=np.int64))
+        ids_l.append(df['ID'].to_numpy(dtype=object) if 'ID' in df.columns
+                     else np.full(n, '', dtype=object))
+    if not keys_l:
+        cols = list(dfs[0].columns) if dfs else []
+        return pd.DataFrame([], columns=cols + _MERGE_COLS)
+
+    keys = np.concatenate(keys_l)
+    srcs = np.concatenate(srcs_l)
+    rows = np.concatenate(rows_l)
+    ids = np.concatenate(ids_l)
+
+    codes, _ = pd.factorize(keys)
+    occ = (pd.DataFrame({'s': srcs, 'c': codes})
+           .groupby(['s', 'c']).cumcount().to_numpy())
+    pair = codes.astype(np.int64) * (int(occ.max()) + 1 if len(occ) else 1) + occ
+
+    order2 = np.argsort(pair, kind='stable')   # groups contiguous, concat order
+    p_sorted = pair[order2]
+    g_start = np.nonzero(np.concatenate([[True], p_sorted[1:] != p_sorted[:-1]]))[0]
+    g_end = np.append(g_start[1:], len(order2))
+    lead_pos = order2[g_start]                 # first occurrence = lead
+
+    names_arr = np.array(sample_names, dtype=object)[srcs]
+    samples_s, variants_s, ones_s, zeros_s = [], [], [], []
+    rep_cache = {}
+    for s, e in zip(g_start, g_end):
+        grp = order2[s:e]
+        samples_s.append(','.join(names_arr[grp]))
+        variants_s.append(','.join(str(v) for v in ids[grp]))
+        k = e - s
+        if k not in rep_cache:
+            rep_cache[k] = (','.join(['1'] * k), ','.join(['0'] * k))
+        ones_s.append(rep_cache[k][0])
+        zeros_s.append(rep_cache[k][1])
+
+    lead_si = srcs[lead_pos]
+    lead_ri = rows[lead_pos]
+    frames = []
+    order = []
+    for si in range(len(dfs)):
+        sel = np.nonzero(lead_si == si)[0]
+        if len(sel) == 0:
+            continue
+        sub = dfs[si].iloc[lead_ri[sel]].copy()
+        sub['MERGE_SRC'] = sample_names[si]
+        frames.append(sub)
+        order.extend(sel.tolist())
+
+    out = pd.concat(frames, axis=0).reset_index(drop=True)
+    out['MERGE_SAMPLES'] = [samples_s[g] for g in order]
+    out['MERGE_VARIANTS'] = [variants_s[g] for g in order]
+    out['MERGE_RO'] = [ones_s[g] for g in order]
+    out['MERGE_OFFSET'] = [zeros_s[g] for g in order]
+    out['MERGE_SZRO'] = [ones_s[g] for g in order]
+    out['MERGE_OFFSZ'] = [zeros_s[g] for g in order]
+    out['MERGE_MATCH'] = [ones_s[g] for g in order]
+    out['MERGE_SRC_ID'] = out['ID']
     out = out.sort_values(['#CHROM', 'POS', 'END', 'ID']).reset_index(drop=True)
     return out
 

@@ -162,12 +162,21 @@ def main():
     # (Backend decided from env — the parent must not initialize the device
     # client before the priming children run.)
     if os.environ.get('JAX_PLATFORMS') != 'cpu':
-        from pav_tpu.runtime import prime_kernels_isolated
-        t0 = time.time()
-        n_ok, n_fail = prime_kernels_isolated(
-            verbose=os.environ.get('PAV_BENCH_VERBOSE') == '1')
-        sys.stderr.write(f'[bench] isolated priming: {n_ok} shapes ok, '
-                         f'{n_fail} chunks failed, {time.time() - t0:.0f}s\n')
+        from pav_tpu.runtime import _cache_dir_entries, prime_kernels_isolated
+        if _cache_dir_entries() > 0:
+            # Persistent cache already populated: the in-process
+            # prime_kernels() below loads executables from it in seconds.
+            # Child-process priming only bootstraps a COLD cache, where a
+            # wedged server-side compile must be killable without taking the
+            # benchmark down.
+            sys.stderr.write('[bench] compile cache present; skipping '
+                             'isolated priming\n')
+        else:
+            t0 = time.time()
+            n_ok, n_fail = prime_kernels_isolated(
+                verbose=os.environ.get('PAV_BENCH_VERBOSE') == '1')
+            sys.stderr.write(f'[bench] isolated priming: {n_ok} shapes ok, '
+                             f'{n_fail} chunks failed, {time.time() - t0:.0f}s\n')
 
     from pav_tpu.io.fasta import SeqStore
     from pav_tpu.pipeline import Pipeline

@@ -48,8 +48,22 @@ def retain_heap(warm_bytes=0):
     except Exception:
         return False
     if ok and warm_bytes > 0:
+        # Fault pages from several threads: the host's page-supply path is
+        # ~9 MB/s single-threaded but scales ~2.5x with parallel faulting.
+        import threading
         buf = np.empty(int(warm_bytes), dtype=np.uint8)
-        buf.fill(1)
+        n_th = 8
+        step = (len(buf) + n_th - 1) // n_th
+
+        def touch(lo):
+            buf[lo:lo + step:4096] = 1
+
+        threads = [threading.Thread(target=touch, args=(i * step,))
+                   for i in range(n_th)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
         del buf
     return bool(ok)
 

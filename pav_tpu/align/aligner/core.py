@@ -209,6 +209,28 @@ def _rev_desc(d):
     return (src, off, ln, not rev)
 
 
+def _parse_minimap2_scoring(params):
+    """Scoring overrides from a minimap2 parameter string (the reference's
+    minimap2_params config key, CONFIG.md:186): -B mismatch, -O open pair,
+    -E extend pair. Unknown flags are ignored."""
+    out = {}
+    if not params:
+        return out
+    toks = str(params).split()
+    for i, tok in enumerate(toks):
+        val = toks[i + 1] if i + 1 < len(toks) else ''
+        try:
+            if tok == '-B':
+                out['mismatch'] = -abs(int(val))
+            elif tok == '-O':
+                out['gap_open'] = tuple(int(v) for v in val.split(','))[:2]
+            elif tok == '-E':
+                out['gap_ext'] = tuple(int(v) for v in val.split(','))[:2]
+        except ValueError:
+            continue
+    return out
+
+
 class Aligner:
     """Contig-to-reference aligner over SeqStores."""
 
@@ -221,15 +243,23 @@ class Aligner:
                              'aligner_min_chain_score': 500},
     }
 
+    # Reference aligner names map to presets of the one engine so reference
+    # configs run unmodified (rules/align.snakefile:176-221).
+    ALIASES = {'minimap2': 'native', 'lra': 'native-sensitive'}
+
     def __init__(self, ref_store, config=None):
         cfg = dict(config or {})
-        preset = self.PRESETS.get(str(cfg.get('aligner', 'native')))
+        name = str(cfg.get('aligner', 'native'))
+        preset = self.PRESETS.get(self.ALIASES.get(name, name))
         if preset:
             from ...config import DEFAULTS
             for key, val in preset.items():
                 # Preset overrides framework defaults but not explicit settings.
                 if key not in cfg or cfg.get(key) == DEFAULTS.get(key):
                     cfg[key] = val
+        # Scoring from a reference-style minimap2_params string (-O a,b -E a,b
+        # -B x) when present; explicit aligner_* settings still win.
+        mm_scoring = _parse_minimap2_scoring(cfg.get('minimap2_params'))
         self.ref_store = ref_store
         self.k = int(cfg.get('aligner_k', 19))
         self.w = int(cfg.get('aligner_w', 10))
@@ -239,9 +269,12 @@ class Aligner:
         self.min_chain_score = float(cfg.get('aligner_min_chain_score', 1000))
         scoring = {
             'match': int(cfg.get('aligner_match', 1)),
-            'mismatch': int(cfg.get('aligner_mismatch', -5)),
-            'gap_open': tuple(cfg.get('aligner_gap_open', (5, 56))),
-            'gap_ext': tuple(cfg.get('aligner_gap_ext', (4, 1))),
+            'mismatch': int(cfg.get('aligner_mismatch',
+                                    mm_scoring.get('mismatch', -5))),
+            'gap_open': tuple(cfg.get('aligner_gap_open',
+                                      mm_scoring.get('gap_open', (5, 56)))),
+            'gap_ext': tuple(cfg.get('aligner_gap_ext',
+                                     mm_scoring.get('gap_ext', (4, 1)))),
         }
         self.scoring = scoring
         self.dp = affine_dp.BandedAligner(scoring)

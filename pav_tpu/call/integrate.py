@@ -483,7 +483,11 @@ def get_merge_params(svtype, config):
     from ..constants import MERGE_PARAM_DEFAULT
     config_def = None
     if svtype in ('ins', 'del', 'inv'):
-        for key in (f'merge_{svtype}', 'merge_insdel', 'merge_insdelinv'):
+        # Key chain per reference code (pavlib/call.py:753-758) plus
+        # 'merge_svindel', the name the reference DOCUMENTS (CONFIG.md:192)
+        # but never reads — accepted here so documented configs work.
+        for key in (f'merge_{svtype}', 'merge_insdel', 'merge_insdelinv',
+                    'merge_svindel'):
             if key in config and config[key]:
                 config_def = config[key]
                 break

@@ -274,7 +274,8 @@ class Pipeline:
                     n_index=self.n_index,
                     max_region_size=int(cfg.get('inv_region_limit', inv_mod.MAX_REGION_SIZE)),
                     log=log_buf,
-                    min_exp_count=int(cfg.get('inv_min_expand_count', 1)),
+                    min_exp_count=int(cfg.get('inv_min_expand',
+                                              cfg.get('inv_min_expand_count', 1)) or 1),
                     strict_parity=bool(cfg.get('strict_parity', False)))
             except RuntimeError as ex:
                 log_buf.write(f'RuntimeError in scan_for_inv(): {ex}\n')

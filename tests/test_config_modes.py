@@ -134,3 +134,32 @@ def test_merge_param_overrides():
     cfg2 = load_config({'merge_insdel': 'nr::ro(0.9)'})
     assert get_merge_params('del', cfg2) == 'nr::ro(0.9)'
     assert get_merge_params('snv', cfg2) == 'nrsnv::exact'
+
+
+def test_reference_config_compat_keys():
+    """Reference-named config keys work unmodified: aligner=minimap2/lra map
+    to engine presets, minimap2_params scoring flags apply, merge_svindel is
+    honored (CONFIG.md documents it; reference code reads merge_insdel), and
+    inv_min_expand is the reference's name for the expand count."""
+    from pav_tpu.align.aligner.core import Aligner, _parse_minimap2_scoring
+    from pav_tpu.call.integrate import get_merge_params
+    from pav_tpu.io.fasta import SeqStore
+    import numpy as np
+
+    sc = _parse_minimap2_scoring('-x asm20 -m 10000 -O 6,60 -E 3,2 -B 4 -a --eqx')
+    assert sc == {'mismatch': -4, 'gap_open': (6, 60), 'gap_ext': (3, 2)}
+
+    ref = SeqStore({'c': np.zeros(2000, dtype=np.uint8)})
+    al = Aligner(ref, {'aligner': 'minimap2',
+                       'minimap2_params': '-O 6,60 -E 3,2 -B 4'})
+    assert al.scoring['mismatch'] == -4
+    assert al.scoring['gap_open'] == (6, 60)
+    assert al.scoring['gap_ext'] == (3, 2)
+    al2 = Aligner(ref, {'aligner': 'lra'})
+    assert al2.k == 15    # native-sensitive preset
+
+    assert get_merge_params('ins', {'merge_svindel': 'nr::ro(0.9)'}) == 'nr::ro(0.9)'
+    # Reference code's chain still wins over the documented alias.
+    assert get_merge_params(
+        'ins', {'merge_insdel': 'nr::ro(0.8)',
+                'merge_svindel': 'nr::ro(0.9)'}) == 'nr::ro(0.8)'

@@ -290,7 +290,8 @@ class Aligner:
         def plan_contig(qry_name):
             """Seed/chain/select/plan one contig into its own segment list."""
             import time as _time
-            codes = qry_store.get(qry_name)
+            prep = prepared.get(qry_name)
+            codes = prep[False] if prep else qry_store.get(qry_name)
             qlen = len(codes)
             segments = []
             _t = _time.time()
@@ -300,7 +301,7 @@ class Aligner:
                 min_chain_score=min_score)
             ALIGN_STATS['chains_s'] += _time.time() - _t
 
-            oriented_cache = {}
+            oriented_cache = dict(prep) if prep else {}
 
             def oriented(is_rev):
                 if is_rev not in oriented_cache:
@@ -344,6 +345,23 @@ class Aligner:
         import time as _time
 
         names = qry_store.names()
+
+        # Accelerators: pre-upload every sequence the plans can slice (ref
+        # chromosomes + both contig orientations) so the resident transfer
+        # overlaps chain planning instead of sitting on the DP critical path.
+        import jax
+        prepared = {}
+        resident = base_map = None
+        if jax.default_backend() != 'cpu':
+            _t0 = _time.time()
+            arrays = [self.ref_store.get(c) for c in self.ref_store.names()]
+            for name in names:
+                codes = qry_store.get(name)
+                prepared[name] = {False: codes, True: seqcodec.revcomp(codes)}
+                arrays += [prepared[name][False], prepared[name][True]]
+            resident, base_map = _build_resident_from(arrays, self.dp.mesh)
+            ALIGN_STATS['resident_s'] += _time.time() - _t0
+
         _t0 = _time.time()
         if len(names) > 1:
             # Contigs are independent until DP batching; the hot pieces
@@ -369,7 +387,7 @@ class Aligner:
         ALIGN_STATS['plan_s'] += _time.time() - _t0
 
         _t0 = _time.time()
-        self._run_segments(segments)
+        self._run_segments(segments, resident, base_map)
         ALIGN_STATS['dp_s'] += _time.time() - _t0
         _t0 = _time.time()
         table = self._emit_table(chain_meta, segments, hap)
@@ -698,7 +716,7 @@ class Aligner:
     def _resolve(handles):
         return _resolve_handles(handles)
 
-    def _run_segments(self, segments):
+    def _run_segments(self, segments, resident=None, base_map=None):
         """Bucket DP jobs into static shapes and run batched kernel calls."""
         # Canonical square buckets, quantized to a handful of size classes so a
         # genome run compiles only a few DP programs. Small classes run
@@ -772,12 +790,13 @@ class Aligner:
         # ONCE, then launches carry only (offset, len, rev) descriptors and
         # the padded sequence windows are gathered on-device. Kills both the
         # per-launch host pad/pack work and nearly all h2d bytes.
-        resident = base_map = None
-        if accel:
+        if accel and resident is None:
             import time as _time
             _t0 = _time.time()
             resident, base_map = _build_resident(segments, self.dp.mesh)
             ALIGN_STATS['resident_s'] += _time.time() - _t0
+        elif not accel:
+            resident = base_map = None
 
         def launch_chunk(chunk, width_b, m_b, n_b, pad_batch):
             """chunk: list of (segment_index, transposed) entries."""
@@ -1058,21 +1077,35 @@ def _build_resident(segments, mesh=None):
     :return: (device_array, {id(src): base_offset}) or (None, None) when no
         segment carries descriptors.
     """
+    srcs = []
+    seen = set()
+    for seg in segments:
+        if seg.kind == 'break':
+            continue
+        for d in (seg.qdesc, seg.rdesc):
+            if d is None or id(d[0]) in seen:
+                continue
+            seen.add(id(d[0]))
+            srcs.append(d[0])
+    return _build_resident_from(srcs, mesh)
+
+
+def _build_resident_from(arrays, mesh=None):
+    """Resident buffer from an explicit source-array list (see
+    _build_resident). Uploading before chain planning overlaps the transfer
+    with host work."""
     import jax
     import jax.numpy as jnp
 
     srcs = []
     base_map = {}
     total = 0
-    for seg in segments:
-        if seg.kind == 'break':
+    for a in arrays:
+        if a is None or id(a) in base_map:
             continue
-        for d in (seg.qdesc, seg.rdesc):
-            if d is None or id(d[0]) in base_map:
-                continue
-            base_map[id(d[0])] = total
-            srcs.append(d[0])
-            total += len(d[0])
+        base_map[id(a)] = total
+        srcs.append(a)
+        total += len(a)
     if not srcs:
         return None, None
     pad = _RESIDENT_MIN

@@ -1051,10 +1051,14 @@ def _coalesce_buckets(buckets):
                 continue
             # Merge only INTO an existing subsuming full-width class — a lone
             # part-full class costs one launch wherever it lives; promotion
-            # pays off only when it joins another class's launch.
+            # pays off only when it joins another class's launch — and only
+            # while the padded per-item compute grows by at most ~32x (a
+            # 64-column item inside an 8193-wide program costs real VPU time).
+            cells = m_b * width_b
             cands = [k for k in buckets
                      if k != key and k[2] == k[1] + 1
-                     and k[0] >= m_b and k[1] >= n_b and k[0] <= 2048]
+                     and k[0] >= m_b and k[1] >= n_b and k[0] <= 2048
+                     and k[0] * k[2] <= 32 * cells]
             if not cands:
                 continue
             tgt = min(cands, key=lambda k: (k[0], k[1]))

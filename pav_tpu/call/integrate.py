@@ -382,12 +382,22 @@ def _pack_per_hap_columns(df, df_dict, col_names, delim=';'):
     flat_var = np.array([v for vl in var_lists for v in vl], dtype=object)
     hap_masks = {h: flat_hap == h for h in dict.fromkeys(flat_hap.tolist())}
 
+    # Plain-dict row lookup + numpy object columns: pandas .loc on
+    # arrow-backed string frames pays a pyarrow take per call.
+    hap_positions = {}
+    for h, mask in hap_masks.items():
+        idpos = {v: i for i, v in enumerate(
+            df_dict[h].index.to_numpy(dtype=object))}
+        hap_positions[h] = np.fromiter(
+            (idpos[v] for v in flat_var[mask]), dtype=np.int64,
+            count=int(mask.sum()))
+
     out = {}
     for col in col_names:
         flat_vals = np.empty(len(flat_hap), dtype=object)
         for h, mask in hap_masks.items():
-            vals = df_dict[h].loc[list(flat_var[mask]), col]
-            flat_vals[mask] = [str(v) for v in vals]
+            col_arr = df_dict[h][col].to_numpy(dtype=object)
+            flat_vals[mask] = [str(v) for v in col_arr[hap_positions[h]]]
         out[col] = [delim.join(flat_vals[s:e])
                     for s, e in zip(offsets[:-1], offsets[1:])]
     return out

@@ -13,6 +13,18 @@ from ... import kmer as km
 _SIGN_FLIP = np.uint64(0x8000000000000000)
 _INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+_POOL = None
+
+
+def _pool():
+    """Shared sketching pool (the native sketcher releases the GIL)."""
+    global _POOL
+    if _POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        _POOL = ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1))
+    return _POOL
+
 
 def mix64(x):
     """Invertible 64-bit finalizer (splitmix-style) applied to canonical k-mers."""
@@ -82,6 +94,42 @@ def minimizers(codes, k, w):
     if len(pos) == 0:
         return empty
     return pos, h[pos], strand[pos]
+
+
+# Chunk size (in k-mer starts) for parallel sketching. Large enough that the
+# per-chunk overlap (w-1 k-mers each side) is negligible.
+_SKETCH_CHUNK = 2 << 20
+
+
+def minimizers_parallel(codes, k, w, chunk=_SKETCH_CHUNK):
+    """Exact `minimizers`, chunk-parallel over the shared sketch pool.
+
+    A position p's minimizer status depends only on windows covering p
+    (window starts [p-w+1, p], i.e. window ends [p, p+w-1]). Sketching the
+    base range [lo-(w-1), hi+w-2+k) therefore reproduces, for every k-mer
+    start in [lo, hi), exactly the window set the whole-sequence sketch sees;
+    emissions are filtered to [lo, hi) so chunks partition the output. Chunks
+    are independent -> thread-parallel (the native sketcher releases the GIL).
+    """
+    n_kmers = len(codes) - k + 1
+    if n_kmers <= chunk + 2 * w:
+        return minimizers(codes, k, w)
+
+    bounds = list(range(0, n_kmers, chunk)) + [n_kmers]
+
+    def sketch_one(lo, hi):
+        s0 = max(0, lo - (w - 1))
+        s1 = min(len(codes), hi + w - 1 + k - 1)
+        pos, h, strand = minimizers(codes[s0:s1], k, w)
+        pos = pos + s0
+        keep = (pos >= lo) & (pos < hi)
+        return pos[keep], h[keep], strand[keep]
+
+    parts = list(_pool().map(lambda b: sketch_one(*b),
+                             zip(bounds[:-1], bounds[1:])))
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
 
 
 class MinimizerIndex:

@@ -211,7 +211,11 @@ def main():
                      write_vcf=False)
 
     from pav_tpu.ops import affine_dp
+    from pav_tpu.align.aligner import chain as chain_mod
+    from pav_tpu.align.aligner.core import align_stats_reset
     affine_dp.stats_reset()
+    align_stats_reset()
+    chain_mod.chain_stats_reset()
 
     pipeline = Pipeline(ref_store, {'aligner_min_chain_score': 1000},
                         run_dir='/tmp/pav_bench_run', log=logf)
@@ -245,6 +249,8 @@ def main():
     from pav_tpu.align.aligner.core import ALIGN_STATS
     sys.stderr.write('[bench] align phases: ' + '  '.join(
         f'{k}={v:.2f}s' for k, v in ALIGN_STATS.items()) + '\n')
+    sys.stderr.write('[bench] chain phases: ' + '  '.join(
+        f'{k}={v:.2f}s' for k, v in chain_mod.CHAIN_STATS.items()) + '\n')
 
     value = contig_mbp / elapsed
     print(json.dumps({

@@ -142,7 +142,7 @@ class MinimizerIndex:
 
         hash_list, chrom_list, pos_list, strand_list = [], [], [], []
         for ci, name in enumerate(self.chrom_names):
-            pos, h, strand = minimizers(ref_store.get(name), k, w)
+            pos, h, strand = minimizers_parallel(ref_store.get(name), k, w)
             hash_list.append(h)
             pos_list.append(pos)
             strand_list.append(strand)

@@ -352,14 +352,21 @@ class Aligner:
         import jax
         prepared = {}
         resident = base_map = None
+        rc_map = {}
         if jax.default_backend() != 'cpu':
             _t0 = _time.time()
             arrays = [self.ref_store.get(c) for c in self.ref_store.names()]
             for name in names:
                 codes = qry_store.get(name)
                 prepared[name] = {False: codes, True: seqcodec.revcomp(codes)}
-                arrays += [prepared[name][False], prepared[name][True]]
+                arrays.append(codes)
             resident, base_map = _build_resident_from(arrays, self.dp.mesh)
+            # Reverse-complement arrays are never uploaded: a window of the
+            # rc contig maps onto the forward buffer with the gather's
+            # reverse+complement flags (halves the resident buffer).
+            for name in names:
+                fwd = prepared[name][False]
+                rc_map[id(prepared[name][True])] = (base_map[id(fwd)], len(fwd))
             ALIGN_STATS['resident_s'] += _time.time() - _t0
 
         _t0 = _time.time()
@@ -387,7 +394,7 @@ class Aligner:
         ALIGN_STATS['plan_s'] += _time.time() - _t0
 
         _t0 = _time.time()
-        self._run_segments(segments, resident, base_map)
+        self._run_segments(segments, resident, base_map, rc_map)
         ALIGN_STATS['dp_s'] += _time.time() - _t0
         _t0 = _time.time()
         table = self._emit_table(chain_meta, segments, hap)
@@ -716,7 +723,8 @@ class Aligner:
     def _resolve(handles):
         return _resolve_handles(handles)
 
-    def _run_segments(self, segments, resident=None, base_map=None):
+    def _run_segments(self, segments, resident=None, base_map=None,
+                      rc_map=None):
         """Bucket DP jobs into static shapes and run batched kernel calls."""
         # Canonical square buckets, quantized to a handful of size classes so a
         # genome run compiles only a few DP programs. Small classes run
@@ -798,6 +806,23 @@ class Aligner:
         elif not accel:
             resident = base_map = None
 
+        def locate(d):
+            """Descriptor -> (resident_offset, len, gather_flags) or None.
+
+            Windows of a reverse-complement source remap onto its forward
+            buffer span: src_rc[off:off+ln] read forward equals the forward
+            window at L-off-ln gathered reversed+complemented; reading it
+            backwards cancels the reversal (complement only)."""
+            src, off, ln, rev = d
+            base = base_map.get(id(src))
+            if base is not None:
+                return (base + off, ln, 1 if rev else 0)
+            rc = rc_map.get(id(src)) if rc_map else None
+            if rc is None:
+                return None
+            fwd_base, src_len = rc
+            return (fwd_base + src_len - off - ln, ln, 2 | (0 if rev else 1))
+
         def launch_chunk(chunk, width_b, m_b, n_b, pad_batch):
             """chunk: list of (segment_index, transposed) entries."""
             if resident is not None:
@@ -810,8 +835,12 @@ class Aligner:
                         break
                     if t:
                         qd, rd = rd, qd
-                    items.append((base_map[id(qd[0])] + qd[1], qd[2], int(qd[3]),
-                                  base_map[id(rd[0])] + rd[1], rd[2], int(rd[3])))
+                    ql = locate(qd)
+                    rl = locate(rd)
+                    if ql is None or rl is None:
+                        items = None
+                        break
+                    items.append(ql + rl)
                 if items is not None:
                     return self.dp.align_batch_refs_async(
                         items, width=width_b, pad_to=(m_b, n_b),

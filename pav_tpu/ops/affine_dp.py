@@ -350,15 +350,19 @@ def _align_and_trace_resident(resident, desc,
                               match, mismatch, o1, o2, e1, e2,
                               backend_kind='xla'):
     """Device-resident variant: sequences are gathered on-device from one
-    resident int8 buffer using (offset, len, rev) descriptors — the launch
-    h2d payload is ONE [B, 6] int32 array (columns: qoff, qlen, qrev, roff,
-    rlen, rrev) instead of padded sequence bytes."""
+    resident int8 buffer using (offset, len, flags) descriptors — the launch
+    h2d payload is ONE [B, 6] int32 array (columns: qoff, qlen, qflags, roff,
+    rlen, rflags) instead of padded sequence bytes. flags bit0 = read the
+    window reversed; bit1 = complement bases (3 - code for ACGT). Together
+    they express reverse-complement windows, so only the forward orientation
+    of each contig is ever uploaded."""
     L = resident.shape[0]
 
     def gather(off, rev, ln, max_len):
         idx = jnp.arange(max_len, dtype=jnp.int32)
-        pos = jnp.where(rev == 1, off + ln - 1 - idx, off + idx)
+        pos = jnp.where((rev & 1) == 1, off + ln - 1 - idx, off + idx)
         v = resident[jnp.clip(pos, 0, L - 1)]
+        v = jnp.where(((rev & 2) == 2) & (v < 4), jnp.int8(3) - v, v)
         return jnp.where(idx < ln, v, jnp.int8(4))
 
     m = desc[:, 1]

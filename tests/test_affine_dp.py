@@ -236,3 +236,38 @@ def test_coalesce_buckets():
     out = _coalesce_buckets({(8192, 8192, 512): list(small),
                              (64, 64, 65): list(small2)})
     assert set(out) == {(8192, 8192, 512), (64, 64, 65)}
+
+
+def test_resident_gather_flags():
+    """Device-resident gather: flag bit0 reverses the window, bit1 complements
+    it, so reverse-complement windows never need their own upload (core.py
+    rc_map; gather in affine_dp._align_and_trace_resident)."""
+    import jax.numpy as jnp
+
+    from pav_tpu import seqcodec
+
+    rng = np.random.default_rng(5)
+    dp = affine_dp.BandedAligner()
+    src = rng.integers(0, 4, 512).astype(np.uint8)
+    resident = jnp.asarray(np.concatenate(
+        [src.astype(np.int8), np.full(512, 4, dtype=np.int8)]))
+
+    off, ln = 37, 90
+    fwd = src[off:off + ln]
+    variants = {
+        0: fwd,
+        1: fwd[::-1],
+        2: seqcodec.revcomp(fwd)[::-1],  # complement only
+        3: seqcodec.revcomp(fwd),        # reverse+complement
+    }
+    r = np.delete(fwd, slice(10, 13))    # 3bp deletion vs the window
+    r_off = 300
+    resident = resident.at[r_off:r_off + len(r)].set(r.astype(np.int8))
+
+    for flags, q_expect in variants.items():
+        res = dp.align_batch_refs_async(
+            [(off, ln, flags, r_off, len(r), 0)],
+            width=129, pad_to=(128, 128), pad_batch=8, resident=resident)()
+        lens, ops = res[0]
+        exp = dp.align_batch([(q_expect, r)], width=129, pad_to=(128, 128))[0]
+        assert np.array_equal(lens, exp[0]) and np.array_equal(ops, exp[1]), flags

@@ -34,7 +34,8 @@ _MIN_WIDTH = 65
 # Per-run align-stage phase accounting (seconds, summed across haps/threads;
 # reset via align_stats_reset, surfaced by bench.py).
 ALIGN_STATS = {'plan_s': 0.0, 'resident_s': 0.0, 'dp_s': 0.0, 'emit_s': 0.0,
-               'chains_s': 0.0, 'plan_chain_s': 0.0, 'select_s': 0.0}
+               'chains_s': 0.0, 'plan_chain_s': 0.0, 'select_s': 0.0,
+               'res_prep_s': 0.0, 'res_pack_s': 0.0, 'res_upload_s': 0.0}
 
 
 def align_stats_reset():
@@ -360,6 +361,7 @@ class Aligner:
                 codes = qry_store.get(name)
                 prepared[name] = {False: codes, True: seqcodec.revcomp(codes)}
                 arrays.append(codes)
+            ALIGN_STATS['res_prep_s'] += _time.time() - _t0
             resident, base_map = _build_resident_from(arrays, self.dp.mesh)
             # Reverse-complement arrays are never uploaded: a window of the
             # rc contig maps onto the forward buffer with the gather's
@@ -775,20 +777,24 @@ class Aligner:
             buckets = _coalesce_buckets(buckets)
 
         # Two-phase: dispatch every bucket to the device first, then collect —
-        # transfers overlap compute and each other (async dispatch). Batch size
-        # is FIXED per size class so each class compiles exactly one program.
-        # Batch padding policy per backend. Accelerators: ONE fixed batch per
-        # shape class — every launch runs one compiled program (primable ahead
-        # of time by runtime.prime_kernels); padding a part-full batch costs
-        # only trivial device compute, while a distinct smaller batch shape
-        # costs a fresh compile, which on a tunneled backend is seconds to
-        # minutes. CPU: compiles are local and fast but compute is not —
-        # quantize the batch down (pow4) to the workload instead.
+        # transfers overlap compute and each other (async dispatch).
+        # Batch padding policy per backend. Accelerators: a pow4-down ladder
+        # {B, B/4, B/16} per shape class — at most 3 compiled programs per
+        # shape (each primable by runtime.prime_kernels), so a part-full
+        # class launches a quarter/sixteenth-size program instead of scanning
+        # a full padded batch (measured: padding the batch, not the
+        # sequences, was 90%+ of scanned DP cells at bench scale). CPU:
+        # compiles are local and fast but compute is not — quantize the
+        # batch down (pow4) to the workload instead.
         fixed_batch = accel
 
         def batch_pad(batch, n_items):
             if fixed_batch:
-                return batch
+                b = batch
+                for _ in range(2):
+                    if b >= 4 * max(n_items, 2) and b > 8:
+                        b //= 4
+                return max(b, 8)
             b_pad = 8
             while b_pad < n_items:
                 b_pad *= 4
@@ -1059,14 +1065,16 @@ def _lis_indices(arr):
 
 
 def _coalesce_buckets(buckets):
-    """Fold part-full full-width accelerator classes into wider neighbors.
+    """Fold tiny full-width accelerator classes into close wider neighbors.
 
-    On latency-bound device links every launch costs a fixed round trip
-    (~0.5s observed mid-run), while running a small item inside a wider
-    full-width class costs only padded VPU compute. A class whose item count
-    is below a quarter of its batch cap merges into the next rung (wider n
-    first, then deeper m, never into banded or 8192-row classes). At genome
-    scale classes fill their batches and no folding happens.
+    Every launch costs a fixed round trip on latency-bound device links, so
+    a class with a handful of items merges into a subsuming class when the
+    padded per-item compute grows by at most 4x. The bound is deliberately
+    tight: padded cells are NOT free (measured at bench scale: a 32x-blowup
+    fold put 4280 small items into a 2049-wide class and padded compute
+    became 90%+ of DP resolve time). Part-full classes above the item
+    threshold launch their own pow4-down quantized batch instead (see
+    batch_pad in _run_segments).
     """
     changed = True
     while changed:
@@ -1076,18 +1084,13 @@ def _coalesce_buckets(buckets):
             if width_b != n_b + 1:
                 continue                      # banded classes stay put
             entries = buckets[key]
-            if len(entries) >= max(_shape_batch(m_b, width_b) // 4, 2):
+            if len(entries) >= 32:
                 continue
-            # Merge only INTO an existing subsuming full-width class — a lone
-            # part-full class costs one launch wherever it lives; promotion
-            # pays off only when it joins another class's launch — and only
-            # while the padded per-item compute grows by at most ~32x (a
-            # 64-column item inside an 8193-wide program costs real VPU time).
             cells = m_b * width_b
             cands = [k for k in buckets
                      if k != key and k[2] == k[1] + 1
                      and k[0] >= m_b and k[1] >= n_b and k[0] <= 2048
-                     and k[0] * k[2] <= 32 * cells]
+                     and k[0] * k[2] <= 4 * cells]
             if not cands:
                 continue
             tgt = min(cands, key=lambda k: (k[0], k[1]))
@@ -1144,6 +1147,8 @@ def _build_resident_from(arrays, mesh=None):
     pad = _RESIDENT_MIN
     while pad < total:
         pad <<= 1
+    import time as _time
+    _t0 = _time.time()
     # np.empty + a small guard region instead of a full-pad memset: gathers
     # only read inside [0, total) plus clipped positions near total (window
     # starts are always in-source; padding items read index 0).
@@ -1154,7 +1159,10 @@ def _build_resident_from(arrays, mesh=None):
         pos += len(src)
     buf[total:min(total + (1 << 16), pad)] = 4
     buf[pad - 1] = 4
+    ALIGN_STATS['res_pack_s'] += _time.time() - _t0
+    _t0 = _time.time()
     arr = jnp.asarray(buf)
+    ALIGN_STATS['res_upload_s'] += _time.time() - _t0
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         arr = jax.device_put(arr, NamedSharding(mesh, P()))   # replicated

@@ -37,7 +37,11 @@ NEG = jnp.int32(-(1 << 29))
 # how many round trips the engine makes on latency-bound links.
 STATS = {'launches': 0, 'items': 0, 'h2d_bytes': 0, 'd2h_bytes': 0,
          'resolve_s': 0.0, 'dispatch_s': 0.0, 'prefetch_s': 0.0,
-         'classes': {}}  # (max_m, max_n, width, B_pad) -> [launches, resolve_s]
+         # (max_m, max_n, width, B_pad) ->
+         #   [launches, resolve_s, items, cells_pad, cells_real]
+         # cells_pad  = B_pad*max_m*width per launch (what the program scans)
+         # cells_real = sum_i m_i*min(n_i+1, width)  (what the problems need)
+         'classes': {}}
 
 
 def stats_reset():
@@ -601,7 +605,10 @@ class BandedAligner:
                                else B_pad * (max_m + max_n))
         STATS['dispatch_s'] += _time.time() - _t0
 
-        return self._finish(fused, B, B_pad, max_m, max_n, int(width))
+        cells_real = int(np.sum(m.astype(np.int64)
+                                * np.minimum(n + 1, int(width))))
+        return self._finish(fused, B, B_pad, max_m, max_n, int(width),
+                            cells_real=cells_real)
 
     def align_batch_refs_async(self, items, width, pad_to, pad_batch=None,
                                resident=None):
@@ -638,9 +645,13 @@ class BandedAligner:
         STATS['items'] += B
         STATS['h2d_bytes'] += arr.nbytes
         STATS['dispatch_s'] += _time.time() - _t0
-        return self._finish(fused, B, B_pad, max_m, max_n, int(width))
+        cells_real = int(np.sum(
+            arr[:B, 1].astype(np.int64)
+            * np.minimum(arr[:B, 4].astype(np.int64) + 1, int(width))))
+        return self._finish(fused, B, B_pad, max_m, max_n, int(width),
+                            cells_real=cells_real)
 
-    def _finish(self, fused, B, B_pad, max_m, max_n, width):
+    def _finish(self, fused, B, B_pad, max_m, max_n, width, cells_real=0):
         """Build the (prefetchable) resolver for one dispatched launch."""
         import time as _time
 
@@ -675,9 +686,12 @@ class BandedAligner:
             _dt = _time.time() - _t1
             STATS['resolve_s'] += _dt
             key = (max_m, max_n, width, B_pad)
-            cls = STATS['classes'].setdefault(key, [0, 0.0])
+            cls = STATS['classes'].setdefault(key, [0, 0.0, 0, 0, 0])
             cls[0] += 1
             cls[1] += _dt
+            cls[2] += B
+            cls[3] += B_pad * max_m * width
+            cls[4] += cells_real
             STATS['d2h_bytes'] += buf.nbytes
             pk = buf[:B, :-5]
             pl = buf[:B, -5:-1].astype(np.int32) << np.arange(

@@ -179,9 +179,13 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
         t0 = time.time()
         if accel:
             items = [(0, max(m_b // 2, 1), 0, 64, max(n_b // 2, 1), 0)]
-            dp.align_batch_refs_async(
-                items, width=width_b, pad_to=(m_b, n_b),
-                pad_batch=_shape_batch(m_b, width_b), resident=resident)()
+            # Each shape runs at three batch sizes: the cap and the pow4-down
+            # quantized variants part-full classes launch (core.batch_pad).
+            cap = _shape_batch(m_b, width_b)
+            for b_pad in sorted({cap, max(cap // 4, 8), max(cap // 16, 8)}):
+                dp.align_batch_refs_async(
+                    items, width=width_b, pad_to=(m_b, n_b),
+                    pad_batch=b_pad, resident=resident)()
         else:
             q = rng.integers(0, 4, max(m_b // 2, 1)).astype(np.uint8)
             r = rng.integers(0, 4, max(n_b // 2, 1)).astype(np.uint8)

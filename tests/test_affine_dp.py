@@ -212,25 +212,27 @@ def test_accel_bucket_covers_primed_widths():
 
 
 def test_coalesce_buckets():
-    """Part-full full-width classes fold into wider neighbors; full and
-    banded classes stay put."""
-    from pav_tpu.align.aligner.core import _coalesce_buckets, _shape_batch
+    """Tiny full-width classes fold into CLOSE (<=4x padded-cell) wider
+    neighbors only; bigger classes launch their own quantized batch instead
+    (padded cells are not free: a wide fold was 90%+ of DP resolve time)."""
+    from pav_tpu.align.aligner.core import _coalesce_buckets
 
     small = [(i, False) for i in range(10)]
     small2 = [(i, True) for i in range(20)]
-    big = [(i, True) for i in range(_shape_batch(64, 65))]
-    # Part-full classes merge into an existing subsuming class (one launch).
+    mid = [(i, True) for i in range(40)]
+    # A tiny class folds into the nearest subsuming class within the 4x
+    # per-item padded-cell bound; it does NOT cascade into far-wider classes.
     out = _coalesce_buckets({(64, 64, 65): list(small),
                              (64, 256, 257): list(small2),
                              (256, 2048, 2049): list(small)})
-    assert list(out) == [(256, 2048, 2049)]
-    assert len(out[(256, 2048, 2049)]) == 40
-    # A lone part-full class stays (no target to join).
+    assert set(out) == {(64, 256, 257), (256, 2048, 2049)}
+    assert len(out[(64, 256, 257)]) == 30
+    # A lone tiny class stays (no target to join).
     out = _coalesce_buckets({(64, 64, 65): list(small)})
     assert list(out) == [(64, 64, 65)]
-    # A full class is never merged away.
-    out = _coalesce_buckets({(64, 64, 65): list(big),
-                             (64, 256, 257): list(small)})
+    # A class at/above the item threshold is never merged away.
+    out = _coalesce_buckets({(64, 64, 65): list(mid),
+                             (64, 256, 257): list(mid)})
     assert (64, 64, 65) in out
     # Banded classes neither move nor receive.
     out = _coalesce_buckets({(8192, 8192, 512): list(small),

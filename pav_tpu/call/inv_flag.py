@@ -135,6 +135,9 @@ def merge_flagged_loci(df_insdel_sv, df_insdel_indel, df_cluster_indel,
         else:
             raise ValueError(f'Unrecognized region filter: {inv_sig_filter}')
 
+    # Flag tags as a bitmask so the per-region union is one reduceat.
+    _TAG_BITS = {'MATCH_SV': 1, 'MATCH_INDEL': 2, 'CLUSTER_INDEL': 4,
+                 'CLUSTER_SNV': 8}
     frames = []
     for df_src, type_tag, count_col in (
             (df_insdel_sv, 'MATCH_SV', None),
@@ -146,7 +149,7 @@ def merge_flagged_loci(df_insdel_sv, df_insdel_indel, df_cluster_indel,
         sub = df_src[['#CHROM', 'POS', 'END']].copy()
         sub['COUNT_INDEL'] = df_src['COUNT'].to_numpy() if count_col == 'COUNT_INDEL' else 0
         sub['COUNT_SNV'] = df_src['COUNT'].to_numpy() if count_col == 'COUNT_SNV' else 0
-        sub['TYPE'] = [{type_tag} for _ in range(sub.shape[0])]
+        sub['TYPE_BIT'] = _TAG_BITS[type_tag]
         frames.append(sub)
 
     if not frames:
@@ -154,34 +157,37 @@ def merge_flagged_loci(df_insdel_sv, df_insdel_indel, df_cluster_indel,
 
     df = pd.concat(frames, axis=0).sort_values(['#CHROM', 'POS'])
 
-    regions = []
-    chrom, pos, end = None, 0, 0
-    indel_count = snv_count = 0
-    type_set = set()
-    for _, row in df.iterrows():
-        if row['#CHROM'] == chrom and row['POS'] < end + flank:
-            type_set |= row['TYPE']
-            end = row['END']
-            indel_count += row['COUNT_INDEL']
-            snv_count += row['COUNT_SNV']
-        else:
-            if type_set:
-                regions.append((chrom, pos, end, type_set, indel_count, snv_count))
-            chrom, pos, end = row['#CHROM'], row['POS'], row['END']
-            type_set = set(row['TYPE'])
-            indel_count = row['COUNT_INDEL']
-            snv_count = row['COUNT_SNV']
-    if type_set:
-        regions.append((chrom, pos, end, type_set, indel_count, snv_count))
+    # Columnar interval chaining (the reference chains each row to the
+    # PREVIOUS row's END + flank, not a running max: call_inv.snakefile
+    # region merge): a region boundary is a chrom change or a gap.
+    chrom_a = df['#CHROM'].to_numpy()
+    pos_a = df['POS'].to_numpy(dtype=np.int64)
+    end_a = df['END'].to_numpy(dtype=np.int64)
+    bits_a = df['TYPE_BIT'].to_numpy(dtype=np.int64)
+    ci_a = df['COUNT_INDEL'].to_numpy(dtype=np.int64)
+    cs_a = df['COUNT_SNV'].to_numpy(dtype=np.int64)
 
-    rows = []
-    for chrom, pos, end, type_set, n_indel, n_snv in regions:
-        rows.append((
-            chrom, int(pos), int(end),
-            f'{chrom}-{pos}-RGN-{end - pos}', 'RGN', int(end - pos),
-            type_set, int(n_indel), int(n_snv)))
-    out = pd.DataFrame(rows, columns=['#CHROM', 'POS', 'END', 'ID', 'SVTYPE',
-                                      'SVLEN', 'TYPE', 'COUNT_INDEL', 'COUNT_SNV'])
+    joined = (chrom_a[1:] == chrom_a[:-1]) & (pos_a[1:] < end_a[:-1] + flank)
+    starts = np.nonzero(np.concatenate([[True], ~joined]))[0]
+    last = np.append(starts[1:], len(pos_a)) - 1
+
+    r_chrom = chrom_a[starts]
+    r_pos = pos_a[starts]
+    r_end = end_a[last]          # last joined row's END (reference semantics)
+    r_bits = np.bitwise_or.reduceat(bits_a, starts)
+    r_ci = np.add.reduceat(ci_a, starts)
+    r_cs = np.add.reduceat(cs_a, starts)
+
+    _BIT_TAGS = {v: k for k, v in _TAG_BITS.items()}
+    type_sets = [{_BIT_TAGS[b] for b in _TAG_BITS.values() if m & b}
+                 for m in r_bits.tolist()]
+    svlen = r_end - r_pos
+    ids = pd.Series(r_chrom).astype(str) + '-' + pd.Series(r_pos).astype(str) \
+        + '-RGN-' + pd.Series(svlen).astype(str)
+    out = pd.DataFrame({
+        '#CHROM': r_chrom, 'POS': r_pos, 'END': r_end, 'ID': ids.to_numpy(),
+        'SVTYPE': 'RGN', 'SVLEN': svlen, 'TYPE': type_sets,
+        'COUNT_INDEL': r_ci, 'COUNT_SNV': r_cs})
     out = out.sort_values(['#CHROM', 'POS']).reset_index(drop=True)
 
     def accept(type_set):
@@ -193,10 +199,9 @@ def merge_flagged_loci(df_insdel_sv, df_insdel_indel, df_cluster_indel,
 
     out['TRY_INV'] = out['TYPE'].apply(accept)
     out['BATCH'] = -1
-    batch = 0
-    for i in out.index[out['TRY_INV']]:
-        out.loc[i, 'BATCH'] = batch
-        batch = (batch + 1) % batch_count
+    try_idx = np.nonzero(out['TRY_INV'].to_numpy())[0]
+    out.iloc[try_idx, out.columns.get_loc('BATCH')] = \
+        np.arange(len(try_idx)) % batch_count
 
     out['TYPE'] = out['TYPE'].apply(lambda vals: ','.join(sorted(vals)))
     return out

@@ -186,67 +186,7 @@ def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=Non
     # Per-source column arrays (avoids per-row Series construction in the
     # matching loop).
     arrs = [_source_arrays(df, strat) for df in dfs]
-
-    # Merged state: lead rows + per-lead support lists.
-    leads = []          # (source_i, row_i)
-    support = []        # per lead: list of (sample, id, ro, offset, szro, offsz, match)
-
-    def rebuild_index():
-        by_chrom = {}
-        chrom_l = [arrs[si]['chrom'][ri] for si, ri in leads]
-        pos_l = np.array([arrs[si]['pos'][ri] for si, ri in leads], dtype=np.int64)
-        end_l = np.array([arrs[si]['end'][ri] for si, ri in leads], dtype=np.int64)
-        info = pd.DataFrame({'#CHROM': chrom_l, 'POS': pos_l, 'END': end_l})
-        pad = 1000
-        for chrom, sub in info.groupby('#CHROM'):
-            p = sub['POS'].to_numpy(dtype=np.int64)
-            e = sub['END'].to_numpy(dtype=np.int64)
-            by_chrom[chrom] = (IntervalIndex(p - pad, e + pad), sub.index.to_numpy())
-        return by_chrom
-
-    for si, (df, name) in enumerate(zip(dfs, sample_names)):
-        if df.shape[0] == 0:
-            continue
-        if si == 0 or not leads:
-            for ri in range(df.shape[0]):
-                leads.append((si, ri))
-                support.append([_self_support_arr(name, arrs[si], ri)])
-            continue
-
-        index_by_chrom = rebuild_index()
-        claimed = set()  # leads claimed by this source
-
-        pos_n = arrs[si]['pos_n']
-        end_n = arrs[si]['end_n']
-        for ri in range(df.shape[0]):
-            chrom = arrs[si]['chrom'][ri]
-            hit = None
-            if chrom in index_by_chrom:
-                iidx, lead_ids = index_by_chrom[chrom]
-                cand = iidx.overlap_indices(int(pos_n[ri]) - 1000, int(end_n[ri]) + 1000)
-                best = None
-                for c in cand:
-                    li = int(lead_ids[c])
-                    if li in claimed:
-                        continue
-                    lsi, lri = leads[li]
-                    m = _match_arrays(arrs[lsi], lri, arrs[si], ri, strat)
-                    if m is None:
-                        continue
-                    key = (m[0], -m[1])  # higher RO, then smaller offset
-                    if best is None or key > best[0]:
-                        best = (key, li, m)
-                if best is not None:
-                    hit = (best[1], best[2])
-
-            if hit is None:
-                leads.append((si, ri))
-                support.append([_self_support_arr(name, arrs[si], ri)])
-            else:
-                li, (ro, offset, szro, offsz, match_val) = hit
-                claimed.add(li)
-                support[li].append((name, arrs[si]['id'][ri], ro, offset, szro,
-                                    offsz, match_val))
+    leads, support = _merge_nr_leads(arrs, sample_names, strat)
 
     # Build output table: bulk-slice lead rows per source, then assign the
     # MERGE_* columns in one pass each.
@@ -286,6 +226,152 @@ def merge_variants(bed_list, sample_names, strategy, threads=1, subset_chrom=Non
 _MERGE_COLS = ['MERGE_SAMPLES', 'MERGE_VARIANTS', 'MERGE_RO', 'MERGE_OFFSET',
                'MERGE_SZRO', 'MERGE_OFFSZ', 'MERGE_MATCH', 'MERGE_SRC',
                'MERGE_SRC_ID']
+
+# Chromosomes pack into one coordinate axis (code * _CHROM_OFF + pos) so a
+# single interval join covers all chromosomes; pads (2 kb) never cross the
+# offset boundary.
+_CHROM_OFF = np.int64(1) << 42
+
+
+def _merge_nr_leads(arrs, sample_names, strat):
+    """Columnar nr-engine merge: per source, one vectorized interval join +
+    stage predicates, then a single claim pass in row order.
+
+    Replaces the per-row candidate loop (VERDICT r2 next #3). Semantics are
+    identical to the sequential greedy by construction:
+      * candidate generation indexes leads on RAW [POS, END) and queries on
+        notional spans padded 2 kb (the same superset the loop enumerated);
+      * a source's rows claim leads in ascending row order; within a row,
+        preference is (higher RO, smaller offset), ties broken by the
+        candidate enumeration order (ascending sorted-start position) — a
+        stable lexsort plus one pass over the sorted pairs reproduces the
+        loop exactly (leads appended by the current source are not eligible
+        for the source's own later rows, matching the per-source index).
+
+    :return: (leads [(si, ri)], support [[(name, id, ro, offset, szro, offsz,
+        match)]]) in the same format the sequential loop produced.
+    """
+    chrom_code = {}
+    for a in arrs:
+        a['chrom_code'] = np.fromiter(
+            (chrom_code.setdefault(c, len(chrom_code)) for c in a['chrom']),
+            dtype=np.int64, count=len(a['chrom']))
+    svt_code = {}
+    for a in arrs:
+        a['svt_code'] = np.fromiter(
+            (svt_code.setdefault(t, len(svt_code)) for t in a['svtype']),
+            dtype=np.int64, count=len(a['svtype']))
+
+    leads = []          # (source_i, row_i)
+    support = []        # per lead: [(sample, id, ro, offset, szro, offsz, match)]
+    # Columnar lead state, appended in chunks per source.
+    lk = {k: [] for k in ('pos', 'end', 'pos_n', 'end_n', 'svlen',
+                          'svt', 'cc', 'si', 'ri')}
+
+    def append_leads(si, ris, a, name):
+        for ri in ris:
+            leads.append((si, int(ri)))
+            support.append([_self_support_arr(name, a, int(ri))])
+        lk['pos'].append(a['pos'][ris])
+        lk['end'].append(a['end'][ris])
+        lk['pos_n'].append(a['pos_n'][ris])
+        lk['end_n'].append(a['end_n'][ris])
+        lk['svlen'].append(a['svlen'][ris])
+        lk['svt'].append(a['svt_code'][ris])
+        lk['cc'].append(a['chrom_code'][ris])
+        lk['si'].append(np.full(len(ris), si, dtype=np.int64))
+        lk['ri'].append(np.asarray(ris, dtype=np.int64))
+
+    for si, (a, name) in enumerate(zip(arrs, sample_names)):
+        n = len(a['pos'])
+        if n == 0:
+            continue
+        if not leads:
+            append_leads(si, np.arange(n), a, name)
+            continue
+
+        L = {k: np.concatenate(v) for k, v in lk.items()}
+        idx = IntervalIndex(L['cc'] * _CHROM_OFF + L['pos'],
+                            L['cc'] * _CHROM_OFF + L['end'])
+        q_lo = a['chrom_code'] * _CHROM_OFF + a['pos_n'] - 2000
+        q_hi = a['chrom_code'] * _CHROM_OFF + a['end_n'] + 2000
+        ri_p, li_p = idx.overlap_join(q_lo, q_hi)
+
+        # Vectorized pair metrics on notional spans.
+        pos_l, end_l = L['pos_n'][li_p], L['end_n'][li_p]
+        pos_c, end_c = a['pos_n'][ri_p], a['end_n'][ri_p]
+        svlen_l, svlen_c = L['svlen'][li_p], a['svlen'][ri_p]
+
+        inter = np.maximum(0, np.minimum(end_l, end_c) - np.maximum(pos_l, pos_c))
+        union_span = np.maximum(end_l - pos_l, end_c - pos_c)
+        ro = np.where(union_span > 0, inter / np.maximum(union_span, 1), 0.0)
+        offset = np.minimum(np.abs(pos_l - pos_c), np.abs(end_l - end_c))
+        min_len = np.minimum(svlen_l, svlen_c)
+        szro = min_len / np.maximum(np.maximum(svlen_l, svlen_c), 1)
+        offsz = offset / np.maximum(min_len, 1)
+
+        ok = (L['svt'][li_p] == a['svt_code'][ri_p]) & (svlen_l > 0) & (svlen_c > 0)
+        accept = np.zeros(len(ri_p), dtype=bool)
+        for stage, params in strat.stages:
+            if stage == 'ro':
+                accept |= ro >= params[0]
+            elif stage == 'szro':
+                p, dist, prop = (list(params) + [None, None])[:3]
+                limit = np.full(len(ri_p), np.inf if dist is None else dist)
+                if prop is not None:
+                    limit = np.minimum(limit, prop * min_len)
+                accept |= (szro >= p) & (offset <= limit)
+            elif stage == 'exact':
+                accept |= (pos_l == pos_c) & (end_l == end_c)
+        keep = np.nonzero(ok & accept)[0]
+
+        match_val = np.full(len(keep), np.nan)
+        if strat.match_seq and len(keep):
+            l_si, l_ri = L['si'][li_p[keep]], L['ri'][li_p[keep]]
+            drop = np.zeros(len(keep), dtype=bool)
+            for j in range(len(keep)):
+                la, ca = arrs[int(l_si[j])], a
+                seq_l = la['seq'][int(l_ri[j])] if la['seq'] is not None else ''
+                seq_c = ca['seq'][int(ri_p[keep[j]])] if ca['seq'] is not None else ''
+                seq_l = '' if seq_l is None or isinstance(seq_l, float) else str(seq_l)
+                seq_c = '' if seq_c is None or isinstance(seq_c, float) else str(seq_c)
+                if seq_l and seq_c:
+                    ident = _seq_identity(seq_l.upper(), seq_c.upper())
+                    if ident < MATCH_IDENTITY:
+                        drop[j] = True
+                    else:
+                        match_val[j] = ident
+            keep = keep[~drop]
+            match_val = match_val[~drop]
+
+        # Claim pass: pairs sorted stably by (row, -ro, offset) — equal keys
+        # keep candidate enumeration order; one pass reproduces the greedy.
+        order = np.lexsort((offset[keep], -ro[keep], ri_p[keep]))
+        s_ri = ri_p[keep][order].tolist()
+        s_li = li_p[keep][order].tolist()
+        s_ro = ro[keep][order].tolist()
+        s_off = offset[keep][order].tolist()
+        s_szro = szro[keep][order].tolist()
+        s_offsz = offsz[keep][order].tolist()
+        s_match = match_val[order].tolist()
+
+        claimed = np.zeros(len(leads), dtype=bool)
+        row_done = np.zeros(n, dtype=bool)
+        ids = a['id']
+        for p in range(len(s_ri)):
+            r, li = s_ri[p], s_li[p]
+            if row_done[r] or claimed[li]:
+                continue
+            row_done[r] = True
+            claimed[li] = True
+            support[li].append((name, ids[r], s_ro[p], int(s_off[p]),
+                                s_szro[p], s_offsz[p], s_match[p]))
+
+        new_ris = np.nonzero(~row_done)[0]
+        if len(new_ris):
+            append_leads(si, new_ris, a, name)
+
+    return leads, support
 
 
 def _merge_nrsnv_exact(dfs, sample_names):
@@ -401,7 +487,10 @@ def _self_support_arr(name, arr, ri):
 
 
 def _match_arrays(lead_arr, lri, cand_arr, cri, strat):
-    """Pair matching under the strategy stages.
+    """Per-pair matching under the strategy stages — the scalar REFERENCE
+    implementation of the semantics the columnar engine (_merge_nr_leads)
+    vectorizes; kept for the randomized differential test
+    (tests/test_svmerge_semantics.py::test_nr_columnar_vs_sequential).
 
     :return: (ro, offset, szro, offsz, match_identity) or None when unmatched.
     """
@@ -474,7 +563,3 @@ def _fmt(v):
     if v is None or (isinstance(v, float) and np.isnan(v)):
         return 'NA'
     return f'{v:.4g}'
-
-
-def _self_support(name, row):
-    return (name, row['ID'], 1.0, 0, 1.0, 0.0, 1.0)

@@ -1,6 +1,7 @@
 """Variant ID construction and versioning (svpoplib.variant equivalents;
 call sites: pavlib/cigarcall.py:318, pavlib/call.py:25-96)."""
 
+import numpy as np
 import pandas as pd
 
 
@@ -32,14 +33,24 @@ def version_id(id_series, existing_id_set=None):
 
 
 def get_variant_id(df, apply_version=True):
-    """Construct IDs from table fields: CHROM-POS1-SVTYPE-{SVLEN | REF+ALT for SNV}."""
-    ids = []
-    for _, row in df.iterrows():
-        if row['SVTYPE'] == 'SNV':
-            ids.append(f"{row['#CHROM']}-{row['POS'] + 1}-SNV-{str(row['REF']).upper()}{str(row['ALT']).upper()}")
-        else:
-            ids.append(f"{row['#CHROM']}-{row['POS'] + 1}-{row['SVTYPE']}-{row['SVLEN']}")
-    ids = pd.Series(ids, index=df.index)
+    """Construct IDs from table fields: CHROM-POS1-SVTYPE-{SVLEN | REF+ALT
+    for SNV}. Columnar string build (no per-row loop)."""
+    if df.shape[0] == 0:
+        ids = pd.Series([], dtype=object, index=df.index)
+        return version_id(ids) if apply_version else ids
+    svtype = df['SVTYPE'].astype(str)
+    base = (df['#CHROM'].astype(str) + '-'
+            + (df['POS'] + 1).astype(str) + '-' + svtype + '-')
+    is_snv = (svtype == 'SNV').to_numpy()
+    sv_tail = (df['SVLEN'].astype(str).to_numpy() if 'SVLEN' in df.columns
+               else np.full(df.shape[0], '', dtype=object))
+    if is_snv.any():
+        snv_tail = (df['REF'].astype(str).str.upper()
+                    + df['ALT'].astype(str).str.upper()).to_numpy()
+        tail = np.where(is_snv, snv_tail, sv_tail)
+    else:
+        tail = sv_tail
+    ids = base + pd.Series(tail, index=df.index)
     return version_id(ids) if apply_version else ids
 
 

@@ -116,6 +116,34 @@ class IntervalIndex:
             return np.zeros(0, dtype=np.int64)
         return self.order[sel + lo]
 
+    def overlap_join(self, qs, qe):
+        """Vectorized overlap join over many queries at once.
+
+        :param qs: int64 array of query starts.
+        :param qe: int64 array of query ends.
+        :return: (q_idx, iv_idx) parallel int64 arrays, one row per
+            (query, interval) overlap; iv_idx indexes the ORIGINAL arrays.
+            Pairs of one query appear in ascending sorted-start position
+            (exactly the order overlap_indices enumerates them).
+        """
+        qs = np.asarray(qs, dtype=np.int64)
+        qe = np.asarray(qe, dtype=np.int64)
+        if len(self.starts) == 0 or len(qs) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        hi = np.searchsorted(self.starts, qe, side='left')
+        # Global non-decreasing max-end prefix: positions < lo have end <= qs.
+        lo = np.minimum(np.searchsorted(self.max_end_prefix, qs, side='right'), hi)
+        counts = hi - lo
+        q_idx = np.repeat(np.arange(len(qs), dtype=np.int64), counts)
+        if len(q_idx) == 0:
+            return q_idx, q_idx
+        # Sorted positions lo[q] .. hi[q)-1 per query, flattened.
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        flat = np.repeat(lo, counts) + (np.arange(len(q_idx)) - np.repeat(cum, counts))
+        keep = self.ends[flat] > qs[q_idx]
+        return q_idx[keep], self.order[flat[keep]]
+
     def any_contains(self, qs, qe):
         """True if any interval fully contains [qs, qe]."""
         if len(self.starts) == 0:

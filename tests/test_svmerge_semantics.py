@@ -248,3 +248,106 @@ def test_merge_param_hierarchy():
     assert get_merge_params('snv', {'merge_insdel': 'Y'}) == 'nrsnv::exact'
     assert get_merge_params('snv', {'merge_snv': 'S'}) == 'S'
     assert get_merge_params('ins', {}) == 'nr::ro(0.5):szro(0.5,200,2):match'
+
+
+# ------------------------------------------- columnar vs sequential engine
+
+
+def test_nr_columnar_vs_sequential():
+    """Randomized differential: the columnar nr engine (_merge_nr_leads)
+    reproduces the sequential greedy reference exactly — same leads, same
+    support attachment (sample/id/metrics), same claim resolution — on
+    clustered random variants across 3 sources (VERDICT r2 next #3)."""
+    import numpy as np
+    from pav_tpu.call.merge import (_match_arrays, _merge_nr_leads,
+                                    _source_arrays, parse_strategy)
+    from pav_tpu.util import IntervalIndex
+
+    rng = np.random.default_rng(17)
+    strat = parse_strategy('nr::ro(0.5):szro(0.5,200,2):match')
+
+    def random_source(n, seed):
+        r = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            # Cluster positions so sources collide often.
+            pos = int(r.integers(0, 40)) * 500 + int(r.integers(0, 60))
+            svtype = ['INS', 'DEL', 'INV'][int(r.integers(0, 3))]
+            svlen = int(r.integers(1, 400))
+            end = pos + 1 if svtype == 'INS' else pos + svlen
+            seq = ''.join('ACGT'[b] for b in r.integers(0, 4, svlen))
+            chrom = 'c' + str(int(r.integers(1, 3)))
+            rows.append({'#CHROM': chrom, 'POS': pos, 'END': end,
+                         'ID': f's{seed}_{i}', 'SVTYPE': svtype,
+                         'SVLEN': svlen, 'SEQ': seq})
+        return pd.DataFrame(rows)
+
+    def sequential_reference(arrs, names, strat):
+        """The pre-vectorization per-row greedy loop, verbatim semantics."""
+        leads, support = [], []
+        for si, (a, name) in enumerate(zip(arrs, names)):
+            n = len(a['pos'])
+            if n == 0:
+                continue
+            if not leads:
+                for ri in range(n):
+                    leads.append((si, ri))
+                    support.append([(name, a['id'][ri], 1.0, 0, 1.0, 0.0, 1.0)])
+                continue
+            by_chrom = {}
+            chrom_l = np.array([arrs[s]['chrom'][r] for s, r in leads])
+            pos_l = np.array([arrs[s]['pos'][r] for s, r in leads])
+            end_l = np.array([arrs[s]['end'][r] for s, r in leads])
+            for chrom in set(chrom_l.tolist()):
+                m = np.nonzero(chrom_l == chrom)[0]
+                by_chrom[chrom] = (IntervalIndex(pos_l[m] - 1000, end_l[m] + 1000),
+                                   m)
+            claimed = set()
+            for ri in range(n):
+                chrom = a['chrom'][ri]
+                hit = None
+                if chrom in by_chrom:
+                    iidx, lead_ids = by_chrom[chrom]
+                    cand = iidx.overlap_indices(int(a['pos_n'][ri]) - 1000,
+                                                int(a['end_n'][ri]) + 1000)
+                    best = None
+                    for c in cand:
+                        li = int(lead_ids[c])
+                        if li in claimed:
+                            continue
+                        lsi, lri = leads[li]
+                        m = _match_arrays(arrs[lsi], lri, arrs[si], ri, strat)
+                        if m is None:
+                            continue
+                        key = (m[0], -m[1])
+                        if best is None or key > best[0]:
+                            best = (key, li, m)
+                    if best is not None:
+                        hit = (best[1], best[2])
+                if hit is None:
+                    leads.append((si, ri))
+                    support.append([(name, a['id'][ri], 1.0, 0, 1.0, 0.0, 1.0)])
+                else:
+                    li, (ro, off, szro, offsz, mv) = hit
+                    claimed.add(li)
+                    support[li].append((name, a['id'][ri], ro, off, szro,
+                                        offsz, mv))
+        return leads, support
+
+    for trial in range(4):
+        dfs = [random_source(120, 100 * trial + s) for s in range(3)]
+        names = ['h1', 'h2', 'h3']
+        arrs_a = [_source_arrays(df, strat) for df in dfs]
+        arrs_b = [_source_arrays(df, strat) for df in dfs]
+        leads_v, sup_v = _merge_nr_leads(arrs_a, names, strat)
+        leads_s, sup_s = sequential_reference(arrs_b, names, strat)
+        assert leads_v == leads_s
+        assert len(sup_v) == len(sup_s)
+        for sv, ss in zip(sup_v, sup_s):
+            assert len(sv) == len(ss)
+            for tv, ts in zip(sv, ss):
+                assert tv[0] == ts[0] and tv[1] == ts[1]
+                assert abs(tv[2] - ts[2]) < 1e-9 and int(tv[3]) == int(ts[3])
+                assert abs(tv[4] - ts[4]) < 1e-9 and abs(tv[5] - ts[5]) < 1e-9
+                same_nan = (np.isnan(tv[6]) and np.isnan(ts[6]))
+                assert same_nan or abs(tv[6] - ts[6]) < 1e-9

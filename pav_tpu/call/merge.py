@@ -138,13 +138,14 @@ def _banded_edit_distance(a, b, band):
         if hi < lb:
             cur[hi + 1:] = big
         sub = prev[lo - 1:hi] + (bn[lo - 1:hi] != an[i - 1])
-        # dp over the band
+        # Diagonal/up candidates, then the horizontal chain
+        # run(j) = min(seg[j], run(j-1)+1) in closed form:
+        # run(j) = min(min_{k<=j}(seg[k]-k) + j, run(-1)+1+j) — one
+        # prefix-min instead of a Python loop over the band.
         seg = np.minimum(sub, prev[lo:hi + 1] + 1)
-        # horizontal pass (sequential) — short loop over band width
-        run = big
-        for j in range(hi - lo + 1):
-            run = min(seg[j], run + 1, cur[lo + j - 1] + 1)
-            cur[lo + j] = run
+        j_idx = np.arange(hi - lo + 1, dtype=np.int32)
+        pm = np.minimum.accumulate(seg - j_idx)
+        cur[lo:hi + 1] = np.minimum(pm + j_idx, np.int32(cur[lo - 1]) + 1 + j_idx)
         prev = cur
     return int(prev[lb])
 
@@ -374,9 +375,33 @@ def _merge_nr_leads(arrs, sample_names, strat):
     return leads, support
 
 
+def _upper_codes(values):
+    """Factorize an object/string array case-insensitively: factorize raw
+    values (C-speed), then uppercase only the uniques and re-map."""
+    codes, uniq = pd.factorize(values)
+    up = np.array([str(u).upper() for u in uniq], dtype=object)
+    ucodes, _ = pd.factorize(up)
+    return ucodes[codes] if len(uniq) else codes
+
+
+def _combine_codes(parts):
+    """Pack several int code arrays into one group-id array, compressing
+    (factorize) after each combine so products never overflow int64."""
+    k = np.asarray(parts[0], dtype=np.int64)
+    k, _ = pd.factorize(k)
+    for nxt in parts[1:]:
+        nxt = np.asarray(nxt, dtype=np.int64)
+        nxt, _ = pd.factorize(nxt)
+        k = k.astype(np.int64) * (int(nxt.max()) + 1 if len(nxt) else 1) + nxt
+        k, _ = pd.factorize(k)
+    return k.astype(np.int64)
+
+
 def _merge_nrsnv_exact(dfs, sample_names):
-    """Vectorized nrsnv merge: one factorize over (chrom, POS, REF, ALT,
-    SVTYPE) keys replaces the per-row candidate loop.
+    """Vectorized nrsnv merge: per-component factorize + integer code packing
+    over (chrom, POS, REF, ALT, SVTYPE) replaces the per-row candidate loop.
+    No string keys are materialized (pandas object-string Series concat was
+    the single hottest call of the merge stage).
 
     Equivalent to the generic engine for nrsnv: every key-equal pair matches
     with metrics (1, 0, 1, 0, 1), and a source's k-th duplicate of a key
@@ -384,35 +409,45 @@ def _merge_nrsnv_exact(dfs, sample_names):
     pairing on (key, within-source occurrence rank) reproduces the loop
     exactly.
     """
-    keys_l, srcs_l, rows_l, ids_l = [], [], [], []
+    chrom_l, pos_l, ref_l, alt_l, svt_l = [], [], [], [], []
+    srcs_l, rows_l, ids_l = [], [], []
     for si, df in enumerate(dfs):
         n = df.shape[0]
         if n == 0:
             continue
-        # \x1f (unit separator), NOT NUL: pandas 3.x factorize hashes
-        # arrow-backed strings only up to the first NUL byte.
-        k = (df['#CHROM'].astype(str) + '\x1f' + df['POS'].astype(str)
-             + '\x1f' + df['REF'].astype(str).str.upper()
-             + '\x1f' + df['ALT'].astype(str).str.upper())
-        if 'SVTYPE' in df.columns:
-            k = k + '\x1f' + df['SVTYPE'].astype(str)
-        keys_l.append(k.to_numpy(dtype=object))
+        chrom_l.append(df['#CHROM'].to_numpy(dtype=object))
+        pos_l.append(df['POS'].to_numpy(dtype=np.int64))
+        ref_l.append(df['REF'].to_numpy(dtype=object))
+        alt_l.append(df['ALT'].to_numpy(dtype=object))
+        svt_l.append(df['SVTYPE'].to_numpy(dtype=object) if 'SVTYPE' in df.columns
+                     else np.full(n, '', dtype=object))
         srcs_l.append(np.full(n, si, dtype=np.int64))
         rows_l.append(np.arange(n, dtype=np.int64))
         ids_l.append(df['ID'].to_numpy(dtype=object) if 'ID' in df.columns
                      else np.full(n, '', dtype=object))
-    if not keys_l:
+    if not srcs_l:
         cols = list(dfs[0].columns) if dfs else []
         return pd.DataFrame([], columns=cols + _MERGE_COLS)
 
-    keys = np.concatenate(keys_l)
     srcs = np.concatenate(srcs_l)
     rows = np.concatenate(rows_l)
     ids = np.concatenate(ids_l)
 
-    codes, _ = pd.factorize(keys)
-    occ = (pd.DataFrame({'s': srcs, 'c': codes})
-           .groupby(['s', 'c']).cumcount().to_numpy())
+    codes = _combine_codes([
+        pd.factorize(np.concatenate(chrom_l))[0],
+        np.concatenate(pos_l),
+        _upper_codes(np.concatenate(ref_l)),
+        _upper_codes(np.concatenate(alt_l)),
+        pd.factorize(np.concatenate(svt_l))[0],
+    ])
+    # Within-source occurrence rank of each key (groupby-free cumcount).
+    sc = _combine_codes([srcs, codes])
+    sc_order = np.argsort(sc, kind='stable')
+    sc_sorted = sc[sc_order]
+    sc_start = np.nonzero(np.concatenate([[True], sc_sorted[1:] != sc_sorted[:-1]]))[0]
+    sc_counts = np.append(sc_start[1:], len(sc_order)) - sc_start
+    occ = np.empty(len(sc_order), dtype=np.int64)
+    occ[sc_order] = np.arange(len(sc_order)) - np.repeat(sc_start, sc_counts)
     pair = codes.astype(np.int64) * (int(occ.max()) + 1 if len(occ) else 1) + occ
 
     order2 = np.argsort(pair, kind='stable')   # groups contiguous, concat order

@@ -421,6 +421,18 @@ class Pipeline:
                 qry_filter_df=qry_filters.get(hap))
 
         hap_list = list(hap_results.keys())
+
+        # Per-hap artifacts depend only on finished haplotypes: write them on
+        # a background thread while the diploid merge runs (gzip releases the
+        # GIL). Only the merged_* tables wait for the merge.
+        art_thread = None
+        if self.run_dir:
+            import threading
+            art_thread = threading.Thread(
+                target=self._write_hap_artifacts,
+                args=(asm_name, hap_results, dict(to_run)), daemon=True)
+            art_thread.start()
+
         with self._timed(asm_name, 'merge'):
             merged = self._merge_all(asm_name, hap_results, hap_list, cfg)
 
@@ -438,8 +450,9 @@ class Pipeline:
 
         if self.run_dir:
             with self._timed(asm_name, 'artifacts'):
-                self._write_artifacts(asm_name, hap_results, merged,
-                                      stores=dict(to_run))
+                self._write_merged_artifacts(asm_name, merged)
+                if art_thread is not None:
+                    art_thread.join()
 
         return {'haps': hap_results, 'merged': merged, 'vcf': vcf_path}
 
@@ -544,7 +557,19 @@ class Pipeline:
         return merged
 
     def _write_artifacts(self, asm_name, hap_results, merged, stores=None):
-        """Persist run outputs.
+        """Persist run outputs (per-hap + merged; see _write_hap_artifacts)."""
+        self._write_hap_artifacts(asm_name, hap_results, stores)
+        self._write_merged_artifacts(asm_name, merged)
+
+    def _write_merged_artifacts(self, asm_name, merged):
+        base = os.path.join(self.run_dir, asm_name)
+        os.makedirs(base, exist_ok=True)
+        for (varsvtype, tier), df in merged.items():
+            df.to_csv(os.path.join(base, f'merged_{varsvtype}_{tier}.tsv.gz'),
+                      sep='\t', index=False, compression={'method': 'gzip', 'compresslevel': 2})
+
+    def _write_hap_artifacts(self, asm_name, hap_results, stores=None):
+        """Persist per-haplotype run outputs.
 
         The `artifacts` config selects the level: 'calls' (default) writes
         the stage call/alignment tables (everything resume and inspection
@@ -601,22 +626,28 @@ class Pipeline:
                                os.path.join(hdir, 'align_trim-qryref.cram'))
             except Exception as ex:  # side output, never fatal
                 self._logmsg(f'{hap}: BAM/CRAM emission failed: {ex}')
-            # Browser tracks (reference: rules/tracks.snakefile:99-307).
+            # Browser tracks (reference: rules/tracks.snakefile:99-307):
+            # .bed.gz plus native BigBed containers (the reference's
+            # bedToBigBed outputs at rules/tracks.snakefile:115,192).
             try:
                 from . import tracks
+                chrom_sizes = dict(self.ref_store.fai())
                 tracks.alignment_track(
                     res.align_qryref, os.path.join(hdir, 'align_track.bed.gz'),
                     name=f'pav_align_{hap}')
+                tracks.alignment_track_bigbed(
+                    res.align_qryref, chrom_sizes,
+                    os.path.join(hdir, 'align_track.bb'))
                 for varsvtype, (df_pass, _) in res.integrated.items():
                     if df_pass.shape[0]:
                         tracks.variant_track(
                             df_pass, os.path.join(hdir, f'track_{varsvtype}.bed.gz'),
                             name=f'pav_{varsvtype}_{hap}')
+                        tracks.variant_track_bigbed(
+                            df_pass, chrom_sizes,
+                            os.path.join(hdir, f'track_{varsvtype}.bb'))
             except Exception as ex:  # tracks are side outputs, never fatal
                 self._logmsg(f'{hap}: track emission failed: {ex}')
-        for (varsvtype, tier), df in merged.items():
-            df.to_csv(os.path.join(base, f'merged_{varsvtype}_{tier}.tsv.gz'),
-                      sep='\t', index=False, compression={'method': 'gzip', 'compresslevel': 2})
 
 
 def run(ref_path, asm_table_path, config=None, run_dir='pav_run', samples=None,

@@ -169,6 +169,31 @@ def test_e2e_side_outputs(diploid_run):
     assert {'INDEX', 'STATE_MER', 'KERN_FWD', 'KERN_REV'} <= set(df_dens.columns)
 
 
+def test_e2e_bigbed_tracks(diploid_run):
+    """artifacts=full emits native BigBed browser tracks next to the .bed.gz
+    tracks, and they parse with the verifying reader (reference builds these
+    via bedToBigBed: rules/tracks.snakefile:115,192)."""
+    import glob
+    import os
+
+    from pav_tpu.io.bigbed import read_bigbed
+
+    ref, m1, m2, result = diploid_run
+    run_dir = os.path.dirname(result['vcf'])
+    for hap in ('h1', 'h2'):
+        hdir = os.path.join(run_dir, 'samp1', hap)
+        bb = os.path.join(hdir, 'align_track.bb')
+        assert os.path.isfile(bb), 'alignment BigBed missing'
+        hdr, sizes, rows = read_bigbed(bb)
+        assert rows and sizes.get('chr1') == 150000
+        var_bbs = glob.glob(os.path.join(hdir, 'track_*.bb'))
+        assert var_bbs, 'variant BigBed tracks missing'
+        got_rows = 0
+        for path in var_bbs:
+            got_rows += len(read_bigbed(path)[2])
+        assert got_rows > 0
+
+
 def test_e2e_artifacts_written(diploid_run, ):
     ref, m1, m2, result = diploid_run
     res_h1 = result['haps']['h1']

@@ -483,3 +483,144 @@ def test_rl_encoder_parity():
         want = list(ref_rl(df))
         got = [tuple(t) for t in rl_encoder(df)]
         assert got == want, f'trial={trial}'
+
+
+# ------------------------------------------------------------- INV density
+
+
+@pytest.fixture(scope='module')
+def ref_density():
+    """The reference's srs-sampled/interpolated density engine, AST-extracted
+    from scripts/density.py (the version PAV executes as a subprocess:
+    pavlib/inv.py:249-288). mp.Pool is shimmed with a serial pool (extracted
+    functions can't be pickled into fork workers); threads=1 math is
+    identical."""
+    import scipy
+    import scipy.stats
+
+    class _SerialPool:
+        def __init__(self, threads, initializer=None):
+            if initializer:
+                initializer()
+
+        def map(self, fn, iterable, chunksize=None):
+            return [fn(x) for x in iterable]
+
+        def close(self):
+            pass
+
+    extra = {
+        'scipy': scipy,
+        'mp': types.SimpleNamespace(Pool=_SerialPool),
+        # Module constants the functions close over (scripts/density.py:38-62;
+        # np.asarray defeats the literal extractor).
+        'KMER_ORIENTATION_STATE': np.asarray([[-1, 2], [0, 1]]),
+        'SAMPLE_INDEX_CHUNK_SIZE': 400,
+        'MAX_REF_KMER_COUNT': 100,
+        'kernel_dict': None, 'sum_state_fwd': None, 'sum_state_fwdrev': None,
+        'sum_state_rev': None, 'df': None, 'density_bandwidth': None,
+    }
+    funcs = _extract_functions(
+        os.path.join(REF_ROOT, 'scripts', 'density.py'),
+        ['init_process', 'density_fwd', 'density_fwdrev', 'density_rev',
+         'interp_fwd', 'interp_fwdrev', 'interp_rev', 'get_smoothed_density'],
+        extra_globals=extra)
+    ns = funcs['get_smoothed_density'].__globals__
+
+    def run(tig_mer_stream, ref_kmer_set, k_util, **kw):
+        ns.update(
+            tig_mer_stream=tig_mer_stream, ref_kmer_set=ref_kmer_set,
+            k_util=k_util, threads=1,
+            min_informative_kmers=kw.get('min_informative_kmers', 2000),
+            density_smooth_factor=kw.get('density_smooth_factor', 1),
+            min_state_count=kw.get('min_state_count', 20),
+            state_run_smooth=kw.get('state_run_smooth', 20),
+            state_run_smooth_delta=kw.get('state_run_smooth_delta', 0.005),
+            kernel_dict=None, df=None)
+        funcs['get_smoothed_density']()
+        return ns['df']
+
+    return run
+
+
+def _longest_rev_run(df):
+    from pav_tpu.call.density import rl_encoder
+    runs = [r for r in rl_encoder(df) if r[0] == 2]
+    assert runs, 'no REV run found'
+    return max(runs, key=lambda r: r[1])
+
+
+def test_inv_density_decision_parity(ref_density):
+    """Differential test of the INV density DECISION chain (VERDICT r2
+    missing #2): exact-FFT densities vs the reference's srs-sampled +
+    interpolated scheme on randomized inverted regions.
+
+    Pins, per trial:
+      * identical informative-k-mer row sets and STATE_MER assignments;
+      * density agreement at the srs sample points (both engines evaluate
+        the true scaled KDE there);
+      * smoothed-STATE disagreement rate < 1% (divergence bound — srs
+        interpolation between samples vs exact values);
+      * the RLE decision that moves breakpoints — the longest strict-REV
+        run — agrees within 2 srs strides (40 k-mers) on both ends, and
+        both engines accept it (>= 100-k-mer run, the inv.py criterion).
+    """
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from helpers import random_seq
+
+    from pav_tpu import kmer as km, seqcodec
+    from pav_tpu.call import density as dens
+
+    k = 31
+    ku = km.KmerUtil(k)
+    rng = np.random.default_rng(23)
+
+    for inv_len, noise in ((8000, 0.001), (5000, 0.004), (12000, 0.002)):
+        ref_codes = random_seq(30000, rng)
+        tig = ref_codes.copy()
+        lo = 11000
+        tig[lo:lo + inv_len] = seqcodec.revcomp(tig[lo:lo + inv_len])
+        n_mut = int(noise * len(tig))
+        if n_mut:
+            pos = rng.choice(len(tig), n_mut, replace=False)
+            tig[pos] = (tig[pos] + 1 + rng.integers(0, 3, n_mut).astype(np.uint8)) % 4
+
+        ref_sorted = dens.ref_kmer_set(ref_codes, ku)
+        kset = set(int(v) for v in ref_sorted)
+        kmers, valid = km.kmer_codes(tig, k)
+        idxs = np.nonzero(valid)[0]
+        stream = [(int(km_), int(ix)) for km_, ix in zip(kmers[idxs], idxs)]
+
+        df_ref = ref_density(stream, kset, ku)
+        df_ours = dens.get_smoothed_density(tig, ref_sorted, ku)
+
+        # Same rows, same per-k-mer states.
+        assert np.array_equal(df_ref['INDEX'].to_numpy(),
+                              df_ours['INDEX'].to_numpy())
+        assert np.array_equal(df_ref['STATE_MER'].to_numpy(),
+                              df_ours['STATE_MER'].to_numpy())
+
+        # Densities at the srs sample points: both exact there.
+        n_rows = df_ref.shape[0]
+        sampled = np.zeros(n_rows, dtype=bool)
+        sampled[::20] = True
+        sampled[-1] = True
+        for col in ('KERN_FWD', 'KERN_FWDREV', 'KERN_REV'):
+            a = df_ref[col].to_numpy(dtype=float)[sampled]
+            b = df_ours[col].to_numpy(dtype=float)[sampled]
+            assert np.nanmax(np.abs(a - b)) < 5e-3, \
+                f'{col} sample-point divergence {np.nanmax(np.abs(a - b))}'
+
+        # Smoothed-state divergence bound.
+        sa = df_ref['STATE'].to_numpy(dtype=int)
+        sb = df_ours['STATE'].to_numpy(dtype=int)
+        dis_rate = float((sa != sb).mean())
+        assert dis_rate < 0.01, f'STATE disagreement {dis_rate:.4f}'
+
+        # The breakpoint-moving decision: longest strict-REV run.
+        ra = _longest_rev_run(df_ref)
+        rb = _longest_rev_run(df_ours)
+        assert ra[1] >= 100 and rb[1] >= 100        # both accept (inv.py:19-51)
+        assert abs(ra[2] - rb[2]) <= 40 and abs(ra[3] - rb[3]) <= 40, \
+            f'REV-run breakpoints moved: ref {ra} vs ours {rb}'

@@ -15,14 +15,25 @@ from ...ops.chain_scan import chain_scores
 from .index import minimizers_parallel
 
 # Thread-time accumulators for the planning sub-phases (diagnostics only;
-# summed across contig threads, so totals can exceed wall time).
+# summed across contig threads, so totals can exceed wall time). Guarded by a
+# lock: the += read-modify-write is not atomic and updates from concurrent
+# planning/pool threads would otherwise be lost (under-counted phase times).
+import threading as _threading
+
 CHAIN_STATS = {'minimizers_s': 0.0, 'anchors_s': 0.0, 'sort_s': 0.0,
                'dp_s': 0.0, 'extract_s': 0.0}
+_STATS_LOCK = _threading.Lock()
+
+
+def _stat_add(key, secs):
+    with _STATS_LOCK:
+        CHAIN_STATS[key] += secs
 
 
 def chain_stats_reset():
-    for key in CHAIN_STATS:
-        CHAIN_STATS[key] = 0.0
+    with _STATS_LOCK:
+        for key in CHAIN_STATS:
+            CHAIN_STATS[key] = 0.0
 
 
 class Chain:
@@ -53,7 +64,7 @@ def collect_anchors(qry_codes, index, max_occ=64):
     k, w = index.k, index.w
     _t = _time.time()
     qpos, qhash, qstrand = minimizers_parallel(qry_codes, k, w)
-    CHAIN_STATS['minimizers_s'] += _time.time() - _t
+    _stat_add('minimizers_s', _time.time() - _t)
     qlen = len(qry_codes)
 
     hi = getattr(index, '_hash_index', None)
@@ -160,7 +171,7 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
     k = index.k
     _t = _time.time()
     qpos, rpos, chrom, rev = collect_anchors(qry_codes, index, max_occ)
-    CHAIN_STATS['anchors_s'] += _time.time() - _t
+    _stat_add('anchors_s', _time.time() - _t)
     n = len(qpos)
     if n == 0:
         return []
@@ -184,7 +195,7 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
         qpos, rpos, group, rev = (qpos[order], rpos[order], group[order],
                                   rev[order])
         chrom = chrom[order]
-    CHAIN_STATS['sort_s'] += _time.time() - _t
+    _stat_add('sort_s', _time.time() - _t)
 
     def chain_slab(lo, hi):
         """Chain DP + extraction over sorted anchors [lo, hi)."""
@@ -192,11 +203,11 @@ def find_chains(qry_codes, index, max_occ=64, lookback=64, max_dist=50000,
         scores, parents = chain_scores(
             qpos[lo:hi], rpos[lo:hi], group[lo:hi], k, lookback=lookback,
             max_dist=max_dist, max_gap_diff=max_gap_diff)
-        CHAIN_STATS['dp_s'] += _time.time() - _t1
+        _stat_add('dp_s', _time.time() - _t1)
         _t1 = _time.time()
         out = _extract_chains(scores, parents, qpos, rpos, chrom, rev, lo,
                               min_chain_score, min_anchors)
-        CHAIN_STATS['extract_s'] += _time.time() - _t1
+        _stat_add('extract_s', _time.time() - _t1)
         return out
 
     # Chaining cannot cross a group change or an rpos gap > max_dist (rpos is

@@ -13,16 +13,23 @@ from ... import kmer as km
 _SIGN_FLIP = np.uint64(0x8000000000000000)
 _INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+import threading as _threading
+
 _POOL = None
+_POOL_LOCK = _threading.Lock()
 
 
 def _pool():
-    """Shared sketching pool (the native sketcher releases the GIL)."""
+    """Shared sketching pool (the native sketcher releases the GIL).
+    Double-checked lock: concurrent contig-planning threads must never race
+    two executors into existence (the loser would leak idle workers)."""
     global _POOL
     if _POOL is None:
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-        _POOL = ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1))
+        with _POOL_LOCK:
+            if _POOL is None:
+                import os
+                from concurrent.futures import ThreadPoolExecutor
+                _POOL = ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1))
     return _POOL
 
 

@@ -16,10 +16,15 @@ FLAG_COLUMNS = ['#CHROM', 'POS', 'END', 'ID', 'SVTYPE', 'SVLEN', 'TYPE',
 
 
 def flag_insdel_cluster(df_insdel, vartype, flank_cluster=2, flank_merge=2000,
-                        cluster_min_svlen=4):
+                        cluster_min_svlen=4, strict_parity=False):
     """Matched INS/DEL flagging: for each INS, find DELs within SVLEN*flank of
     its position; flag the span of matching DELs
-    (reference: rules/call_inv.snakefile:480-603)."""
+    (reference: rules/call_inv.snakefile:480-603).
+
+    strict_parity replicates a reference BUG: the rule's interval-merge loop
+    (call_inv.snakefile:558-594) never flushes the final open region after
+    the loop, silently dropping the last flagged region of the last
+    chromosome. Default behavior keeps it."""
     df = df_insdel
     if 'FILTER' in df.columns:
         df = df.loc[df['FILTER'] == 'PASS']
@@ -56,12 +61,14 @@ def flag_insdel_cluster(df_insdel, vartype, flank_cluster=2, flank_merge=2000,
     # Merge intervals within flank_merge of each other (pad retained as span
     # extension is not applied in the reference; merge on raw bounds with gap
     # tolerance).
-    return _merge_gap(df_match, flank_merge)
+    return _merge_gap(df_match, flank_merge, drop_final=strict_parity)
 
 
-def _merge_gap(df, gap):
+def _merge_gap(df, gap, drop_final=False):
     """Merge sorted intervals whose start is within `gap` of the previous end
-    (bounds kept unpadded; reference: rules/call_inv.snakefile:546-594)."""
+    (bounds kept unpadded; reference: rules/call_inv.snakefile:546-594).
+    drop_final replicates the reference's missing final flush (see
+    flag_insdel_cluster)."""
     df = df.sort_values(['#CHROM', 'POS']).reset_index(drop=True)
     out = []
     chrom, pos, end = None, None, None
@@ -75,7 +82,7 @@ def _merge_gap(df, gap):
         else:
             out.append((chrom, pos, end))
             pos, end = int(p), int(e)
-    if chrom is not None:
+    if chrom is not None and not drop_final:
         out.append((chrom, pos, end))
     return pd.DataFrame(out, columns=['#CHROM', 'POS', 'END'])
 

@@ -137,14 +137,15 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
                     if dist_ref >= 50 and dist_tig < 50:
                         del_list.append(_call_del(
                             chrom, qid, row1, row2, query_pos, dist_ref, dist_tig,
-                            ref_seq, tig_oriented(qid, is_rev), is_rev, hap, log))
+                            ref_seq, tig_oriented(qid, is_rev), is_rev, hap, log,
+                            strict_parity=strict_parity))
                         break
                     elif dist_ref < 50 and dist_tig >= 50:
                         ins_list.append(_call_ins(
                             chrom, qid, row1, row2, query_pos, query_end,
                             dist_ref, dist_tig, ref_seq,
                             tig_oriented(qid, is_rev), is_rev, hap, log,
-                            qry_store))
+                            qry_store, strict_parity=strict_parity))
                         break
                     elif dist_ref >= 50 and dist_tig >= 50:
                         region_flag = Region(chrom, row1['END'], row2['POS'],
@@ -219,7 +220,7 @@ def _match_bp(row, right_end):
 
 
 def _call_del(chrom, qid, row1, row2, query_pos, dist_ref, dist_tig,
-              ref_seq, tig_seq, is_rev, hap, log):
+              ref_seq, tig_seq, is_rev, hap, log, strict_parity=False):
     svlen = int(dist_ref)
     pos_ref = int(row1['END'])
     end_ref = int(row2['POS'])
@@ -227,7 +228,12 @@ def _call_del(chrom, qid, row1, row2, query_pos, dist_ref, dist_tig,
     end_tig = pos_tig + 1
 
     seq = ref_seq[pos_ref:end_ref]
-    left_shift = min(
+    # strict_parity replicates a reference BUG: pavlib/align/align.py:337-360
+    # match_bp compares char CIGAR ops ('=','H') against int codes ({4,5}, 7),
+    # so it always returns 0 and the reference lgsv caller NEVER left-shifts
+    # (left_shift = min(0, homology) = 0; LEFT_SHIFT column is 0 on every
+    # reference output row). Default behavior keeps the intended shift.
+    left_shift = 0 if strict_parity else min(
         _match_bp(row1, True),
         hom.left_homology(pos_ref - 1, ref_seq, seq))
     if left_shift > 0:
@@ -254,7 +260,7 @@ def _call_del(chrom, qid, row1, row2, query_pos, dist_ref, dist_tig,
 
 
 def _call_ins(chrom, qid, row1, row2, query_pos, query_end, dist_ref, dist_tig,
-              ref_seq, tig_seq, is_rev, hap, log, qry_store):
+              ref_seq, tig_seq, is_rev, hap, log, qry_store, strict_parity=False):
     pos_ref = int(row1['END'])
     end_ref = pos_ref + 1
     pos_tig = int(query_pos)
@@ -265,7 +271,8 @@ def _call_ins(chrom, qid, row1, row2, query_pos, query_end, dist_ref, dist_tig,
         return qry_store.fetch_region(Region(qid, p, e, is_rev=is_rev))
 
     seq = tig_region_seq(pos_tig, end_tig)
-    left_shift = min(
+    # strict_parity: reference match_bp bug, see _call_del.
+    left_shift = 0 if strict_parity else min(
         _match_bp(row1, True),
         hom.left_homology(pos_ref - 1, ref_seq, seq))
     if left_shift > 0:

@@ -41,8 +41,16 @@ DEFAULTS = {
 
     # Strict reference parity: disable this engine's documented recall-improving
     # deviations (INV outer-breakpoint gap-edge recovery, INV size-check slack
-    # retry, lift gap-interpolation coordinate fix) so runs are directly
-    # comparable to PAV output (docs/ARCHITECTURE.md "Known deviations").
+    # retry, lift gap-interpolation coordinate fix) AND replicate three
+    # reference bugs so runs are directly comparable to PAV output
+    # (docs/ARCHITECTURE.md "Known deviations"):
+    #   1. lgsv left-shift is always 0 (pavlib/align/align.py match_bp
+    #      compares char CIGAR ops against int codes; pinned by
+    #      test_lgsv_driver_parity);
+    #   2. the insdel flag merge drops its final region
+    #      (call_inv.snakefile:558-594 never flushes after the loop);
+    #   3. cluster flagging uses cluster_win as the minimum span
+    #      (call_inv.snakefile:619 typo: cluster_win_min = params.cluster_win).
     'strict_parity': False,
 
     # CIGAR calling

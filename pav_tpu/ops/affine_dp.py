@@ -613,11 +613,15 @@ class BandedAligner:
     def align_batch_refs_async(self, items, width, pad_to, pad_batch=None,
                                resident=None):
         """Device-resident launch: like align_batch_async, but sequences are
-        described as (qoff, qlen, qrev, roff, rlen, rrev) windows into a
+        described as (qoff, qlen, qflags, roff, rlen, rflags) windows into a
         resident device buffer and gathered on-device.
 
         :param items: list of 6-tuples (offsets resolved into the resident
-            buffer; rev = 1 gathers the window reversed).
+            buffer). flags is a 2-bit field: bit0 = gather the window
+            reversed, bit1 = complement bases (3 - code for ACGT); together
+            they express reverse-complement windows so only the forward
+            orientation of each source is ever uploaded (see
+            _align_and_trace_resident and core.py rc_map).
         :param resident: int8 device array from core._build_resident.
         """
         sc = self.scoring

@@ -198,27 +198,37 @@ class Pipeline:
                 inv_call_out=res.inv_calls,
                 version_ids=True)
 
-        # Inversion flagging from CIGAR calls.
+        # Inversion flagging from CIGAR calls. strict_parity replicates two
+        # reference bugs (pinned by test_inv_flag_rules_parity): the insdel
+        # flag merge drops its final region, and call_inv_cluster sets
+        # cluster_win_min = cluster_win (snakefile:619), not the documented
+        # 500 bp default.
+        strict = bool(cfg.get('strict_parity', False))
+        cluster_win = int(cfg.get('inv_sig_cluster_win', 200))
+        cluster_win_min = (cluster_win if strict
+                           else int(cfg.get('inv_sig_cluster_win_min', 500)))
         self._logmsg(f'{hap}: inversion flagging and density scan')
         res.df_flag = inv_flag.merge_flagged_loci(
             inv_flag.flag_insdel_cluster(
                 res.df_insdel, 'sv',
                 flank_cluster=int(cfg.get('inv_sig_insdel_cluster_flank', 2)),
-                flank_merge=int(cfg.get('inv_sig_insdel_merge_flank', 2000))),
+                flank_merge=int(cfg.get('inv_sig_insdel_merge_flank', 2000)),
+                strict_parity=strict),
             inv_flag.flag_insdel_cluster(
                 res.df_insdel, 'indel',
                 flank_cluster=int(cfg.get('inv_sig_insdel_cluster_flank', 2)),
                 flank_merge=int(cfg.get('inv_sig_insdel_merge_flank', 2000)),
-                cluster_min_svlen=int(cfg.get('inv_sig_cluster_svlen_min', 4))),
+                cluster_min_svlen=int(cfg.get('inv_sig_cluster_svlen_min', 4)),
+                strict_parity=strict),
             inv_flag.flag_cluster(
                 res.df_insdel, 'indel',
-                cluster_win=int(cfg.get('inv_sig_cluster_win', 200)),
-                cluster_win_min=int(cfg.get('inv_sig_cluster_win_min', 500)),
+                cluster_win=cluster_win,
+                cluster_win_min=cluster_win_min,
                 cluster_min_indel=int(cfg.get('inv_sig_cluster_indel_min', 10))),
             inv_flag.flag_cluster(
                 res.df_snv, 'snv',
-                cluster_win=int(cfg.get('inv_sig_cluster_win', 200)),
-                cluster_win_min=int(cfg.get('inv_sig_cluster_win_min', 500)),
+                cluster_win=cluster_win,
+                cluster_win_min=cluster_win_min,
                 cluster_min_snv=int(cfg.get('inv_sig_cluster_snv_min', 20))),
             flank=int(cfg.get('inv_sig_merge_flank', 500)),
             batch_count=int(cfg.get('inv_sig_batch_count', 60)),

@@ -18,9 +18,8 @@ import zlib
 import numpy as np
 
 BIGBED_MAGIC = 0x8789F2EB
-CHROM_TREE_MAGIC = 0x78CA8C91
+CHROM_TREE_MAGIC = 0x78CA4B1F   # bptSig (Kent bbiFile.h)
 RTREE_MAGIC = 0x2468ACE0
-ZOOM_MAGIC = 0x888FFC26  # total-summary presence marker (bbi spec table 5)
 
 _BLOCK_SIZE = 256        # B+/R tree fan-out
 _ITEMS_PER_SLOT = 512    # BED items per data block
@@ -326,9 +325,13 @@ def write_bigbed(df, chrom_sizes, out_path, extra_cols=(),
             payload = zlib.compress(raw) if compress else raw
             off = fh.tell()
             fh.write(payload)
+            # End bound is the maximal (chromIx, end) KEY: the max end among
+            # items on the block's last chromosome — not the max end across
+            # all chromosomes in the block (caught by test_golden_bytes).
+            e_cix = max(c for c, _, _, _ in chunk)
+            e_base = max(e for c, _, e, _ in chunk if c == e_cix)
             leaves.append(_RLeaf(chunk[0][0], chunk[0][1],
-                                 chunk[-1][0], max(e for _, _, e, _ in chunk),
-                                 off, len(payload)))
+                                 e_cix, e_base, off, len(payload)))
         full_index_off = fh.tell()
         fh.write(_rtree(leaves, full_index_off))
 

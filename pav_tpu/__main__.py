@@ -33,6 +33,17 @@ def main(argv=None):
                         help='jax.distributed coordinator (process 0 host)')
     parser.add_argument('--num-processes', type=int, default=1)
     parser.add_argument('--process-id', type=int, default=0)
+    parser.add_argument('--cohort-timeout', type=float, default=None,
+                        metavar='SECONDS',
+                        help='bound for cohort barriers/gathers '
+                             '(default $PAV_COHORT_TIMEOUT_S or 600)')
+    parser.add_argument('--ship-artifacts', action='store_true',
+                        help='replicate every VCF to every process through '
+                             'the coordination store (no shared FS needed)')
+    parser.add_argument('--no-keep-going', action='store_true',
+                        help='abort the cohort on the first failed sample '
+                             'or dead member (default: record and continue, '
+                             'like the reference profile\'s --keep-going)')
     args = parser.parse_args(argv)
 
     # Engine processes churn large short-lived buffers; keeping freed pages in
@@ -51,28 +62,51 @@ def main(argv=None):
     if args.coordinator and args.num_processes > 1:
         # Must run before anything touches jax (engine imports create device
         # constants, which would initialize the backend pre-distributed).
-        from .parallel.multihost import init, shard_samples
+        from .parallel.multihost import gather_manifest, init, shard_samples
         cohort = init(args.coordinator, args.num_processes, args.process_id)
+        if args.cohort_timeout is not None:
+            cohort.timeout_s = args.cohort_timeout
+        keep_going = not args.no_keep_going
         from .assembly_table import read_assembly_table
         from .pipeline import run
         names = list(read_assembly_table(args.assemblies).index)
         if args.sample:
             names = [n for n in names if n in set(args.sample)]
         mine = shard_samples(names, args.process_id, args.num_processes)
-        results = run(args.ref, args.assemblies, config=overrides,
-                      run_dir=args.run_dir, samples=mine,
-                      resume=args.resume, profile_dir=args.profile_dir) \
-            if mine else {}
-        local = {name: {'vcf': res['vcf'], 'process': args.process_id}
-                 for name, res in results.items()}
-        manifest = {}
-        for shard in cohort.allgather_obj('cli_manifest', local):
-            manifest.update(shard)
-        cohort.barrier('cli_done')
+        local = {}
+        for name in mine:   # one sample per run(): independent keep-going jobs
+            try:
+                res = run(args.ref, args.assemblies, config=overrides,
+                          run_dir=args.run_dir, samples=[name],
+                          resume=args.resume,
+                          profile_dir=args.profile_dir)[name]
+            except Exception as ex:
+                if not keep_going:
+                    raise
+                print(f'[cohort] sample {name} failed: {ex!r} (keep-going)',
+                      file=sys.stderr)
+                local[name] = {'error': f'{type(ex).__name__}: {ex}',
+                               'process': args.process_id}
+                continue
+            local[name] = {'vcf': res['vcf'], 'process': args.process_id}
+            if args.ship_artifacts:
+                with open(res['vcf'], 'rb') as fh:
+                    cohort.publish_bytes(f'vcf/{name}', fh.read())
+        manifest = gather_manifest(
+            cohort, local, names, run_dir=args.run_dir,
+            log=lambda m: print(m, file=sys.stderr), keep_going=keep_going,
+            ship_artifacts=args.ship_artifacts)
+        failed = 0
         for asm_name in sorted(manifest):
-            print(f'{asm_name}: {manifest[asm_name]["vcf"]} '
-                  f'(process {manifest[asm_name]["process"]})')
-        return 0
+            entry = manifest[asm_name]
+            if entry.get('error'):
+                failed += 1
+                print(f'{asm_name}: ERROR {entry["error"]} '
+                      f'(process {entry["process"]})')
+            else:
+                print(f'{asm_name}: {entry["vcf"]} '
+                      f'(process {entry["process"]})')
+        return 1 if failed else 0
 
     from .pipeline import run
     results = run(args.ref, args.assemblies, config=overrides,

@@ -75,6 +75,13 @@ def kmer_codes(codes, k):
     if n <= 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
 
+    # Hot path: single-pass native rolling extraction (native/kmercodes.cpp);
+    # the inversion density scans call this hundreds of times per haplotype.
+    from . import native
+    out = native.kmer_codes(codes, k)
+    if out is not None:
+        return out
+
     vals = np.where(codes > 3, 0, codes).astype(np.uint64)
     kmers = np.zeros(n, dtype=np.uint64)
     for i in range(k):

@@ -20,7 +20,8 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRCS = [os.path.join(_REPO_ROOT, 'native', 'chain.cpp'),
          os.path.join(_REPO_ROOT, 'native', 'minimizer.cpp'),
          os.path.join(_REPO_ROOT, 'native', 'lookup.cpp'),
-         os.path.join(_REPO_ROOT, 'native', 'sortanchors.cpp')]
+         os.path.join(_REPO_ROOT, 'native', 'sortanchors.cpp'),
+         os.path.join(_REPO_ROOT, 'native', 'kmercodes.cpp')]
 _BUILD_DIR = os.path.join(_REPO_ROOT, 'build')
 
 
@@ -119,6 +120,10 @@ def get_lib():
                 _i64p, _i64p, _i64p, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.sort_anchors.restype = ctypes.c_int64
+            lib.kmer_codes.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int32, _u64p, ctypes.POINTER(ctypes.c_uint8)]
+            lib.kmer_codes.restype = None
             _LIB = lib
         except Exception:
             _LIB = None
@@ -365,3 +370,25 @@ def chain_extract(scores, parents, cand, min_chain_score, min_anchors):
     )
     return (out_idx[:out_start[n_chains]].copy(),
             out_start[:n_chains + 1].copy(), out_score[:n_chains].copy())
+
+
+def kmer_codes(codes, k):
+    """Native rolling k-mer extraction; returns (kmers uint64, valid bool) for
+    all len(codes)-k+1 windows, or None when the native library is
+    unavailable. Semantics match pav_tpu.kmer.kmer_codes' numpy fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n_kmers = len(codes) - k + 1
+    if n_kmers <= 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    out_kmers = np.empty(n_kmers, dtype=np.uint64)
+    out_valid = np.empty(n_kmers, dtype=np.uint8)
+    lib.kmer_codes(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(codes)), ctypes.c_int32(int(k)),
+        out_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out_kmers, out_valid.view(bool)

@@ -140,7 +140,8 @@ _DP_SHAPES_ACCEL = [
 
 
 def prime_kernels(sizes=('small', 'medium', 'large'),
-                  kde_grids=(1 << 14, 1 << 16, 1 << 17),
+                  kde_grids=(1 << 15, 1 << 16, 1 << 17, 1 << 18,
+                             1 << 19, 1 << 20, 1 << 21),
                   shape_range=None):
     """Pre-compile the engine's canonical kernel shapes so data-dependent work
     never stalls on a compile (compiles are expensive on tunneled backends,
@@ -215,20 +216,24 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
         for h in handles:
             h()
 
-    # KDE shapes: common grid sizes x a spread of kernel widths.
+    # KDE shapes: the device program is keyed by the pow2 grid length alone
+    # (kernels are built on device from the sigmas), so one call per grid
+    # size covers every bandwidth. Grids at/below the host-FFT threshold
+    # never reach the device and need no priming.
     for n in kde_grids:
+        if n <= kde._HOST_FFT_MAX:
+            continue
         state = np.zeros(n, dtype=np.int8)
         state[: n // 3] = 0
         state[n // 3: 2 * n // 3] = 2
         state[2 * n // 3:] = 1
-        for sigma_scale in (0.02, 0.08):
-            t0 = time.time()
-            sigmas = np.full(3, max(2.0, sigma_scale * n))
-            kde.smoothed_states(state, sigmas)
-            if verbose:
-                sys.stderr.write(f'[prime] kde n={n} s={sigma_scale} '
-                                 f'{time.time() - t0:.1f}s\n')
-                sys.stderr.flush()
+        t0 = time.time()
+        sigmas = np.full(3, max(2.0, 0.02 * n))
+        kde.smoothed_states(state, sigmas)
+        if verbose:
+            sys.stderr.write(f'[prime] kde n={n} '
+                             f'{time.time() - t0:.1f}s\n')
+            sys.stderr.flush()
 
 
 def _cache_dir_entries():
@@ -307,7 +312,8 @@ def prime_kernels_isolated(chunk=6, timeout_s=420, verbose=False):
     code = (f'import sys; sys.path.insert(0, {root!r}); '
             'from pav_tpu.runtime import enable_compile_cache, prime_kernels; '
             'enable_compile_cache(); '
-            'prime_kernels(shape_range=(0, 0), kde_grids=(1 << 14, 1 << 16, 1 << 17))')
+            'prime_kernels(shape_range=(0, 0), kde_grids=(1 << 15, 1 << 16, '
+            '1 << 17, 1 << 18, 1 << 19, 1 << 20, 1 << 21))')
     try:
         subprocess.run([_sys.executable, '-c', code], timeout=timeout_s,
                        check=True, capture_output=not verbose)

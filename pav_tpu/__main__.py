@@ -63,10 +63,11 @@ def main(argv=None):
         # Must run before anything touches jax (engine imports create device
         # constants, which would initialize the backend pre-distributed).
         from .parallel.multihost import gather_manifest, init, shard_samples
-        cohort = init(args.coordinator, args.num_processes, args.process_id)
+        keep_going = not args.no_keep_going
+        cohort = init(args.coordinator, args.num_processes, args.process_id,
+                      keep_going=keep_going)
         if args.cohort_timeout is not None:
             cohort.timeout_s = args.cohort_timeout
-        keep_going = not args.no_keep_going
         from .assembly_table import read_assembly_table
         from .pipeline import run
         names = list(read_assembly_table(args.assemblies).index)

@@ -17,9 +17,12 @@ failed sample — or one dead member process — must not abort the cohort. A
 failed sample is recorded in the manifest with an ``error`` field; a member
 that never publishes its shard is marked ``unreachable`` after a bounded wait
 (``PAV_COHORT_TIMEOUT_S`` / ``timeout_s``), and the surviving processes still
-return the full manifest for every sample they can account for. The one
-member that cannot die is process 0: it hosts the coordination service
-itself, exactly as the reference's main Snakemake process does.
+return the full manifest for every sample they can account for. Two
+failures remain fatal by construction: process 0 (it hosts the coordination
+service itself, exactly as the reference's main Snakemake process does) and
+a member that dies before JAX backend initialization completes (the global
+device-topology exchange blocks every process's backend init on every
+member's participation).
 
 Artifact placement: each sample's VCF is written on the local disk of
 whichever process ran it (the manifest records the owning process). On a
@@ -47,13 +50,19 @@ _RAISE = object()
 _CHUNK = 1 << 20
 
 
-def init(coordinator, num_processes, process_id):
+def init(coordinator, num_processes, process_id, keep_going=True):
     """Initialize jax.distributed for a cohort run.
 
     :param coordinator: 'host:port' of process 0.
+    :param keep_going: run the coordination client in recoverable mode so a
+        dead member does NOT terminate the survivors (without it, the JAX
+        coordination service fatally aborts every task when one stops
+        heartbeating — the opposite of the reference's --keep-going).
     """
     import jax
 
+    if keep_going:
+        jax.config.update('jax_enable_recoverability', True)
     jax.distributed.initialize(coordinator, num_processes, process_id)
     return Cohort(num_processes, process_id)
 

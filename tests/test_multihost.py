@@ -64,9 +64,13 @@ def test_cohort_two_processes(tmp_path):
     env.pop('XLA_FLAGS', None)   # no virtual device splitting in children
 
     def launch(pid):
+        # Per-process run dirs + --ship-artifacts: models a cohort WITHOUT a
+        # shared filesystem — every process must end up with every VCF,
+        # replicated through the coordination KV store.
         return subprocess.Popen(
             [sys.executable, '-m', 'pav_tpu',
-             '--ref', 'ref.fa', '--assemblies', 'asm.tsv', '--run-dir', 'run',
+             '--ref', 'ref.fa', '--assemblies', 'asm.tsv',
+             '--run-dir', f'run{pid}', '--ship-artifacts',
              '--coordinator', f'localhost:{port}',
              '--num-processes', '2', '--process-id', str(pid),
              '--set', 'aligner_min_chain_score=500'],
@@ -93,7 +97,89 @@ def test_cohort_two_processes(tmp_path):
                 procs_of[name] = line.rsplit('process ', 1)[1].rstrip(')')
     assert procs_of == {'SampA': '0', 'SampB': '1'}
 
-    # Both VCFs exist and contain the planted SNVs.
+    # EVERY process has EVERY sample's VCF locally (ship-artifacts contract:
+    # the sample ran on one process; the other received the bytes through
+    # the KV store), each containing its planted SNV.
+    for run_dir in ('run0', 'run1'):
+        for sample, pos in (('SampA', 5001), ('SampB', 9001)):
+            vcf = tmp_path / run_dir / f'{sample}.vcf.gz'
+            assert vcf.exists(), f'{run_dir}/{sample} VCF missing'
+            positions = {int(ln.split('\t')[1])
+                         for ln in gzip.open(vcf, 'rt')
+                         if not ln.startswith('#')}
+            assert pos in positions, f'{sample}: planted SNV {pos} not called'
+
+
+@pytest.mark.slow
+def test_cohort_keep_going_dead_member(tmp_path):
+    """Keep-going semantics (reference analog: Snakemake --keep-going,
+    profiles/default/config.yaml:2-5): a member that joins the cohort and
+    dies before publishing its shard must not abort the others — survivors
+    mark its samples unreachable and still emit the full manifest."""
+    rng = np.random.default_rng(31)
+    ref = random_seq(60000, rng)
+
+    def hap(seed, snv_at):
+        r = np.random.default_rng(seed)
+        mut = Mutator(ref)
+        mut.snv(snv_at, rng=r)
+        return mut.finish()
+
+    (tmp_path / 'ref.fa').write_text('>chr1\n' + seqcodec.decode(ref) + '\n')
+    for si, snv_at in ((1, 5000), (2, 9000), (3, 15000)):
+        for hi in (1, 2):
+            seq = hap(10 * si + hi, snv_at)
+            (tmp_path / f's{si}h{hi}.fa').write_text(
+                f'>tig{si}{hi}\n' + seqcodec.decode(seq) + '\n')
+    (tmp_path / 'asm.tsv').write_text(
+        'NAME\tHAP_h1\tHAP_h2\n'
+        'SampA\ts1h1.fa\ts1h2.fa\n'
+        'SampB\ts2h1.fa\ts2h2.fa\n'
+        'SampC\ts3h1.fa\ts3h2.fa\n')
+
+    port = _free_port()
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PYTHONPATH'] = ROOT
+    env.pop('XLA_FLAGS', None)
+
+    def launch(pid):
+        return subprocess.Popen(
+            [sys.executable, '-m', 'pav_tpu',
+             '--ref', 'ref.fa', '--assemblies', 'asm.tsv', '--run-dir', 'run',
+             '--coordinator', f'localhost:{port}',
+             '--num-processes', '3', '--process-id', str(pid),
+             '--cohort-timeout', '30',
+             '--set', 'aligner_min_chain_score=500'],
+            cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+
+    # Process 2 joins the coordination service, completes backend init (the
+    # global topology exchange every member must survive — a member dead
+    # before it would break device init cohort-wide), then crashes without
+    # publishing its shard (SampC) — the induced mid-run member failure.
+    dead = subprocess.Popen(
+        [sys.executable, '-c',
+         'import os; from pav_tpu.parallel.multihost import init;'
+         f'init("localhost:{port}", 3, 2); import jax; jax.devices(); '
+         'os._exit(1)'],
+        cwd=tmp_path, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+    procs = [launch(0), launch(1)]
+    dead.communicate(timeout=300)
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        # Keep-going exits nonzero (failed samples present) but must not crash.
+        assert p.returncode == 1, f'rc={p.returncode}\n{out}\n{err}'
+        outs.append(out)
+
+    for out in outs:
+        assert 'SampC: ERROR process unreachable' in out, out
+        assert 'SampA:' in out and 'SampB:' in out
+
+    # The surviving samples' VCFs were still produced.
     for sample, pos in (('SampA', 5001), ('SampB', 9001)):
         vcf = tmp_path / 'run' / f'{sample}.vcf.gz'
         assert vcf.exists(), f'{sample} VCF missing'

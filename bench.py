@@ -119,7 +119,7 @@ def ensure_healthy_backend():
     # client here (priming children need the link to themselves).
     if os.environ.get('JAX_PLATFORMS') == 'cpu':
         return
-    timeout = float(os.environ.get('PAV_BENCH_PROBE_TIMEOUT', 300))
+    timeout = float(os.environ.get('PAV_BENCH_PROBE_TIMEOUT', 600))
     root = os.path.dirname(os.path.abspath(__file__))
 
     def probe(env_extra, tmo):
@@ -137,6 +137,13 @@ def ensure_healthy_backend():
         return None
 
     t_acc = probe({}, timeout)
+    if t_acc is None:
+        # The tunneled backend's first launch can wedge for minutes in a
+        # fresh session (observed: 6+ min, then sub-second steady state); a
+        # second session usually clears it. One CPU-backend record costs the
+        # round its accelerator number — retry before giving up.
+        sys.stderr.write('[bench] accelerator probe wedged; retrying once\n')
+        t_acc = probe({}, timeout)
     t_cpu = probe({'JAX_PLATFORM_NAME': 'cpu', 'JAX_PLATFORMS': 'cpu'}, timeout)
     sys.stderr.write(f'[bench] backend calibration: accelerator={t_acc}, cpu={t_cpu}\n')
     if t_acc is None or (t_cpu is not None and t_cpu < t_acc):

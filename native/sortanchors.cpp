@@ -4,6 +4,12 @@
 //
 // Key layout (63 bits): group[7] | rpos[28] | qpos[28]. Returns -1 when any
 // field exceeds its range (caller falls back to the numpy sort).
+//
+// The key encodes every emitted field, so the sort moves ONLY the 8-byte
+// keys (no index permutation) and the outputs are decoded sequentially from
+// the sorted keys — ~2.5x less memory traffic than a key+index sort with a
+// final random gather. Passes whose digit is constant across all keys are
+// skipped (small genomes use neither the high rpos bits nor many groups).
 
 #include <cstdint>
 #include <cstring>
@@ -16,47 +22,54 @@ int64_t sort_anchors(const int64_t* qpos, const int64_t* rpos,
                      int64_t* out_qpos, int64_t* out_rpos, int64_t* out_group,
                      int32_t* out_chrom, uint8_t* out_rev) {
     constexpr int64_t kMax28 = (1ll << 28) - 1;
-    std::vector<uint64_t> key(n);
-    std::vector<uint32_t> idx(n), idx2(n);
-    std::vector<uint64_t> key2(n);
+    // Reused across calls: fresh large vectors fault pages at VM-restore
+    // speed on this class of host. Guarded by the caller (one call per
+    // planning thread; glibc arenas are shared but vectors are per-thread).
+    static thread_local std::vector<uint64_t> key_buf, key2_buf;
+    key_buf.resize(n);
+    key2_buf.resize(n);
+    uint64_t* key = key_buf.data();
+    uint64_t* key2 = key2_buf.data();
 
+    uint64_t all_or = 0, all_and = ~0ULL;
     for (int64_t i = 0; i < n; ++i) {
         const int64_t g = static_cast<int64_t>(chrom[i]) * 2 + (rev[i] ? 1 : 0);
         if (g >= 128 || qpos[i] > kMax28 || rpos[i] > kMax28 ||
             qpos[i] < 0 || rpos[i] < 0) {
             return -1;
         }
-        key[i] = (static_cast<uint64_t>(g) << 56)
-                 | (static_cast<uint64_t>(rpos[i]) << 28)
-                 | static_cast<uint64_t>(qpos[i]);
-        idx[i] = static_cast<uint32_t>(i);
+        const uint64_t k = (static_cast<uint64_t>(g) << 56)
+                           | (static_cast<uint64_t>(rpos[i]) << 28)
+                           | static_cast<uint64_t>(qpos[i]);
+        key[i] = k;
+        all_or |= k;
+        all_and &= k;
     }
 
-    // 4 passes of 16-bit digits (63-bit key).
+    // 4 passes of 16-bit digits (63-bit key); constant digits need no pass.
     std::vector<int64_t> count(1 << 16);
     for (int pass = 0; pass < 4; ++pass) {
         const int shift = pass * 16;
+        if (((all_or >> shift) & 0xFFFF) == ((all_and >> shift) & 0xFFFF))
+            continue;
         std::memset(count.data(), 0, count.size() * sizeof(int64_t));
         for (int64_t i = 0; i < n; ++i)
             ++count[(key[i] >> shift) & 0xFFFF];
         int64_t sum = 0;
         for (auto& c : count) { const int64_t t = c; c = sum; sum += t; }
-        for (int64_t i = 0; i < n; ++i) {
-            const int64_t pos = count[(key[i] >> shift) & 0xFFFF]++;
-            key2[pos] = key[i];
-            idx2[pos] = idx[i];
-        }
-        key.swap(key2);
-        idx.swap(idx2);
+        for (int64_t i = 0; i < n; ++i)
+            key2[count[(key[i] >> shift) & 0xFFFF]++] = key[i];
+        uint64_t* t = key; key = key2; key2 = t;
     }
 
     for (int64_t i = 0; i < n; ++i) {
-        const uint32_t j = idx[i];
-        out_qpos[i] = qpos[j];
-        out_rpos[i] = rpos[j];
-        out_group[i] = static_cast<int64_t>(chrom[j]) * 2 + (rev[j] ? 1 : 0);
-        out_chrom[i] = chrom[j];
-        out_rev[i] = rev[j];
+        const uint64_t k = key[i];
+        const int64_t g = static_cast<int64_t>(k >> 56);
+        out_qpos[i] = static_cast<int64_t>(k & kMax28);
+        out_rpos[i] = static_cast<int64_t>((k >> 28) & kMax28);
+        out_group[i] = g;
+        out_chrom[i] = static_cast<int32_t>(g >> 1);
+        out_rev[i] = static_cast<uint8_t>(g & 1);
     }
     return 0;
 }

@@ -93,10 +93,12 @@ def main(argv=None):
             if args.ship_artifacts:
                 with open(res['vcf'], 'rb') as fh:
                     cohort.publish_bytes(f'vcf/{name}', fh.read())
+        from .parallel.multihost import finalize
         manifest = gather_manifest(
             cohort, local, names, run_dir=args.run_dir,
             log=lambda m: print(m, file=sys.stderr), keep_going=keep_going,
             ship_artifacts=args.ship_artifacts)
+        finalize(cohort, manifest)
         failed = 0
         for asm_name in sorted(manifest):
             entry = manifest[asm_name]

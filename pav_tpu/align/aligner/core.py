@@ -18,7 +18,9 @@ schema: API_ALIGN.md:31-64.
 """
 
 import collections
+import functools
 
+import jax
 import numpy as np
 import pandas as pd
 
@@ -112,6 +114,13 @@ def _bucket_ladder(x, ladder=_ACCEL_LADDER):
     return ladder[-1]
 
 
+# Largest padded (rows x width) cell count allowed through the full-width
+# kernel: its materialized f32 substitution tensor makes per-launch memory
+# ~6 bytes/cell x batch, so classes above this run banded (escapes break the
+# record rather than OOM the chip).
+_FULL_CELLS_MAX = 1 << 23
+
+
 def _accel_bucket(m, n):
     """(m_b, n_b, width_b) for the accelerator class ladder.
 
@@ -125,7 +134,8 @@ def _accel_bucket(m, n):
     """
     m_b = _bucket_ladder(m)
     n_b = _bucket_ladder(n)
-    if max(m_b, n_b) <= 2048 or m_b != n_b:
+    if max(m_b, n_b) <= 2048 or (m_b != n_b
+                                 and m_b * (n_b + 1) <= _FULL_CELLS_MAX):
         # Full width: the gather-free specialized kernel
         # (affine_dp._align_batch_full) makes exact DP cheaper than the
         # banded kernel's dynamic window shifts up to 2048 columns.
@@ -133,9 +143,15 @@ def _accel_bucket(m, n):
     w_need = 2 * abs(m - n) + _MIN_WIDTH
     if w_need <= 513:
         return m_b, n_b, 512      # compiles at width 513
-    if w_need <= 2049:
-        return m_b, n_b, 2048     # compiles at width 2049
-    return m_b, n_b, n_b + 1
+    # Widest safe band. Full width is NOT a fallback here: the full kernel
+    # materializes the [max_m, B, width] f32 substitution tensor, so a
+    # balanced-huge class (e.g. 8192x8193) allocates tens of GB and OOMs the
+    # chip (observed on repeat-rich input). A segment whose optimal path
+    # leaves a 2k band either retries at full width when small enough
+    # (_run_segments) or becomes an alignment-record break — the same
+    # treatment reference aligners give paths that exceed their -r bandwidth
+    # (rules/align.snakefile:188), whose SVs the truncation caller recovers.
+    return m_b, n_b, 2048
 
 
 def _shape_batch(m_b, width_b):
@@ -877,7 +893,10 @@ class Aligner:
         if retry:
             # Band-escaping paths (e.g. opposing gaps) re-run at full width,
             # grouped into the same canonical shape classes (width = n_b + 1)
-            # so retries never compile a fresh program.
+            # so retries never compile a fresh program. Classes too large for
+            # the full-width kernel (see _FULL_CELLS_MAX) become record
+            # breaks instead: the path wandered >2k off-diagonal through a
+            # multi-kb block, which reference aligners also split.
             regroup = collections.defaultdict(list)
             for i in retry:
                 seg = segments[i]
@@ -888,6 +907,9 @@ class Aligner:
                 if accel:
                     m_b = _bucket_ladder(m)
                     n_b = _bucket_ladder(n)
+                    if m_b * (n_b + 1) > _FULL_CELLS_MAX:
+                        segments[i].kind = 'break'
+                        continue
                 else:
                     m_b = _bucket_pow2(m, lo=16)
                     n_b = _bucket_pow2(n, lo=16)
@@ -1104,6 +1126,46 @@ def _coalesce_buckets(buckets):
 _RESIDENT_MIN = 1 << 26   # pad the resident buffer to >= 64M so one program
                           # shape covers every genome up to that size
 
+# Process-lifetime staging buffers for resident packing, reused so their
+# pages stay faulted-in (see _build_resident_from). Each entry pairs the
+# buffer with the device array whose (asynchronous) upload read from it: the
+# buffer may only be reused once that transfer has completed — blocking on
+# the transfer instead would put the 64M upload back on the critical path
+# (it is designed to overlap chain planning).
+_PACK_ARENA = []   # [(np_buffer, device_array_or_None), ...]
+_PACK_ARENA_LOCK = __import__('threading').Lock()
+
+
+def _acquire_pack_buf(size, dtype=np.int8):
+    with _PACK_ARENA_LOCK:
+        for i, (buf, arr) in enumerate(_PACK_ARENA):
+            if len(buf) >= size and buf.dtype == dtype:
+                try:
+                    ready = arr is None or arr.is_ready()
+                except Exception:
+                    ready = False
+                if ready:
+                    _PACK_ARENA.pop(i)
+                    return buf[:size]
+    return np.empty(size, dtype=dtype)
+
+
+def _release_pack_buf(buf, arr):
+    base = buf.base if buf.base is not None else buf
+    with _PACK_ARENA_LOCK:
+        _PACK_ARENA.append((base, arr))
+        # Keep at most two buffers per dtype (one per concurrently packing
+        # haplotype thread): int8 staging + uint8 packed-upload.
+        _PACK_ARENA.sort(key=lambda e: len(e[0]), reverse=True)
+        by_dtype = {}
+        keep = []
+        for entry in _PACK_ARENA:
+            cnt = by_dtype.get(entry[0].dtype.str, 0)
+            if cnt < 2:
+                keep.append(entry)
+                by_dtype[entry[0].dtype.str] = cnt + 1
+        _PACK_ARENA[:] = keep
+
 
 def _build_resident(segments, mesh=None):
     """Concatenate every source array referenced by segment descriptors into
@@ -1126,10 +1188,36 @@ def _build_resident(segments, mesh=None):
     return _build_resident_from(srcs, mesh)
 
 
+_GUARD = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnames=('pad',))
+def _unpack_resident(packed, n_idx, total, pad):
+    """Expand a 2-bit-packed resident upload to the int8 code buffer the
+    gather kernels index. packed: uint8 [pad//4] (4 bases/byte, LSB-first);
+    n_idx: int32 [K] positions of ambiguous bases (packed as code 0, fixed
+    up here; padding entries point at the guard region); total: int32 scalar
+    marking the end of real data (a 4-filled guard block lands there)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    un = ((packed[:, None] >> shifts[None, :]) & jnp.uint8(3)) \
+        .astype(jnp.int8).reshape(-1)
+    guard = jnp.full((_GUARD,), 4, dtype=jnp.int8)
+    start = jnp.minimum(total, pad - _GUARD).astype(jnp.int32)
+    un = lax.dynamic_update_slice(un, guard, (start,))
+    un = lax.dynamic_update_slice(un, guard, (jnp.int32(pad - _GUARD),))
+    return un.at[n_idx].set(4)
+
+
 def _build_resident_from(arrays, mesh=None):
     """Resident buffer from an explicit source-array list (see
-    _build_resident). Uploading before chain planning overlaps the transfer
-    with host work."""
+    _build_resident). The upload is 2-bit packed (4 bases/byte) and expanded
+    on device: the tunneled link runs ~20 MB/s, so shipping the raw int8
+    codes would put seconds of transfer on the critical path; packed, the
+    whole buffer uploads in a fraction of the chain-planning time it
+    overlaps. Ambiguous bases (code 4) are reinstated from a sparse index."""
     import jax
     import jax.numpy as jnp
 
@@ -1149,19 +1237,39 @@ def _build_resident_from(arrays, mesh=None):
         pad <<= 1
     import time as _time
     _t0 = _time.time()
-    # np.empty + a small guard region instead of a full-pad memset: gathers
+    # Staging buffers come from a process-lifetime arena: on hosts with
+    # lazily restored VM memory a fresh 64M allocation faults pages at
+    # ~15 MB/s, turning a ~20 ms pack into seconds on every call. Gathers
     # only read inside [0, total) plus clipped positions near total (window
-    # starts are always in-source; padding items read index 0).
-    buf = np.empty(pad, dtype=np.int8)
+    # starts are always in-source; padding items read index 0), so only a
+    # guard-sized prefix past total needs defined bytes.
+    buf = _acquire_pack_buf(pad)
     pos = 0
     for src in srcs:
         buf[pos:pos + len(src)] = src
         pos += len(src)
-    buf[total:min(total + (1 << 16), pad)] = 4
-    buf[pad - 1] = 4
+    n_idx = np.nonzero(buf[:total] == 4)[0]
+    k_pad = 8
+    while k_pad < len(n_idx):
+        k_pad <<= 1
+    n_idx_pad = np.full(k_pad, pad - 1, dtype=np.int32)  # guard index: already 4
+    n_idx_pad[:len(n_idx)] = n_idx
+
+    # 2-bit pack the defined prefix (stale arena bytes beyond it are never
+    # read after the device-side guard fill).
+    np4 = (min(total + _GUARD, pad) + 3) // 4
+    packed = _acquire_pack_buf(pad >> 2, dtype=np.uint8)
+    v = buf.view(np.uint8)
+    end = np4 * 4
+    packed[:np4] = ((v[0:end:4] & 3) | ((v[1:end:4] & 3) << 2)
+                    | ((v[2:end:4] & 3) << 4) | ((v[3:end:4] & 3) << 6))
     ALIGN_STATS['res_pack_s'] += _time.time() - _t0
     _t0 = _time.time()
-    arr = jnp.asarray(buf)
+    parr = jnp.asarray(packed)    # async upload; overlaps chain planning
+    arr = _unpack_resident(parr, jnp.asarray(n_idx_pad),
+                           jnp.int32(total), pad)
+    _release_pack_buf(buf, None)        # host-only after packing
+    _release_pack_buf(packed, parr)     # reusable once the upload completes
     ALIGN_STATS['res_upload_s'] += _time.time() - _t0
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -218,6 +218,35 @@ def gather_manifest(cohort, local, all_samples, run_dir=None, log=None,
     return manifest
 
 
+def finalize(cohort, manifest=None):
+    """Ordered teardown for recoverable cohorts. Recoverable-mode clients
+    skip the coordination service's shutdown barrier, so the leader (process
+    0, which hosts the service) could tear it down while another member's
+    disconnect RPC is in flight — that member then dies with a fatal
+    coordination error despite a fully successful run. Non-leaders
+    disconnect first (after publishing a goodbye); the leader waits for the
+    goodbyes of every member the manifest does not already record as
+    unreachable, grants a short grace period for their disconnects to land,
+    and only then shuts the service down."""
+    import time
+
+    import jax
+
+    if cohort.process_id != 0:
+        cohort.publish(f'bye/{cohort.process_id}', True)
+        jax.distributed.shutdown()
+        return
+    unreachable = set()
+    if manifest:
+        unreachable = {e.get('process') for e in manifest.values()
+                       if e.get('error') == 'process unreachable'}
+    for p in range(1, cohort.num_processes):
+        if p not in unreachable:
+            cohort.fetch(f'bye/{p}', default=None)
+    time.sleep(1.0)
+    jax.distributed.shutdown()
+
+
 def run_cohort(cohort, ref_store, assemblies, run_dir, config=None, log=None,
                keep_going=True, ship_artifacts=False):
     """Run the engine on this process's sample shard; gather the cohort

@@ -41,23 +41,41 @@ def flag_insdel_cluster(df_insdel, vartype, flank_cluster=2, flank_merge=2000,
     if df_ins.shape[0] == 0 or df_del.shape[0] == 0:
         return pd.DataFrame([], columns=['#CHROM', 'POS', 'END'])
 
-    out = []
+    # Vectorized per chromosome: for INS i with window [lo_i, hi_i), the
+    # matching DELs are {j: dpos[j] < hi_i and dend[j] > lo_i} (IntervalIndex
+    # overlap semantics). With DELs sorted by POS and a running max of END:
+    # the FIRST hit (min POS) is the first j where cummax_end exceeds lo_i,
+    # and the max END among hits is the prefix max at the last j with
+    # dpos < hi_i — both single searchsorted calls per query batch.
+    frames = []
     for chrom, sub_del in df_del.groupby('#CHROM'):
         sub_ins = df_ins.loc[df_ins['#CHROM'] == chrom]
         if sub_ins.shape[0] == 0:
             continue
-        didx = IntervalIndex(sub_del['POS'].to_numpy(), sub_del['END'].to_numpy())
-        dpos = sub_del['POS'].to_numpy()
-        dend = sub_del['END'].to_numpy()
-        for pos, svlen in zip(sub_ins['POS'].to_numpy(), sub_ins['SVLEN'].to_numpy()):
-            flank = int(svlen) * flank_cluster
-            hits = didx.overlap_indices(int(pos) - flank, int(pos) + flank)
-            if len(hits):
-                out.append((chrom, int(dpos[hits].min()), int(dend[hits].max())))
+        order = np.argsort(sub_del['POS'].to_numpy(), kind='stable')
+        dpos = sub_del['POS'].to_numpy()[order]
+        dend = sub_del['END'].to_numpy()[order]
+        cummax_end = np.maximum.accumulate(dend)
+        ipos = sub_ins['POS'].to_numpy().astype(np.int64)
+        flank = sub_ins['SVLEN'].to_numpy().astype(np.int64) * flank_cluster
+        lo = ipos - flank
+        hi = ipos + flank
+        r = np.searchsorted(dpos, hi, side='left')
+        j0 = np.searchsorted(cummax_end, lo, side='right')
+        has = (r > 0) & (j0 < r) & (lo < hi)
+        if not has.any():
+            continue
+        end_max = cummax_end[np.maximum(r - 1, 0)]
+        has &= end_max > lo
+        frames.append(pd.DataFrame({
+            '#CHROM': chrom,
+            'POS': dpos[np.minimum(j0[has], len(dpos) - 1)],
+            'END': end_max[has],
+        }))
 
-    if not out:
+    if not frames:
         return pd.DataFrame([], columns=['#CHROM', 'POS', 'END'])
-    df_match = pd.DataFrame(out, columns=['#CHROM', 'POS', 'END'])
+    df_match = pd.concat(frames, ignore_index=True)
     # Merge intervals within flank_merge of each other (pad retained as span
     # extension is not applied in the reference; merge on raw bounds with gap
     # tolerance).
@@ -70,21 +88,31 @@ def _merge_gap(df, gap, drop_final=False):
     drop_final replicates the reference's missing final flush (see
     flag_insdel_cluster)."""
     df = df.sort_values(['#CHROM', 'POS']).reset_index(drop=True)
-    out = []
-    chrom, pos, end = None, None, None
-    for c, p, e in zip(df['#CHROM'], df['POS'], df['END']):
-        if c != chrom:
-            if chrom is not None:
-                out.append((chrom, pos, end))
-            chrom, pos, end = c, int(p), int(e)
-        elif int(p) - gap <= end:
-            end = max(end, int(e))
-        else:
-            out.append((chrom, pos, end))
-            pos, end = int(p), int(e)
-    if chrom is not None and not drop_final:
-        out.append((chrom, pos, end))
-    return pd.DataFrame(out, columns=['#CHROM', 'POS', 'END'])
+    if df.shape[0] == 0:
+        return pd.DataFrame([], columns=['#CHROM', 'POS', 'END'])
+    chrom = df['#CHROM'].to_numpy()
+    pos = df['POS'].to_numpy(dtype=np.int64)
+    end = df['END'].to_numpy(dtype=np.int64)
+    # Boundary at i iff the chromosome changes or pos[i] - gap exceeds the
+    # running max END of the open region. With POS sorted, the region's
+    # running max equals the per-chromosome prefix cummax: if cummax[i-1]
+    # reaches pos[i] - gap via some earlier row j, every row k in (j, i]
+    # chains (pos[k] - gap <= pos[i] - gap <= end[j]), so j and i share a
+    # region regardless of where earlier boundaries fell.
+    boundary = np.ones(len(pos), dtype=bool)
+    seg = np.nonzero(np.concatenate([[True], chrom[1:] != chrom[:-1]]))[0]
+    for s, e in zip(seg, np.append(seg[1:], len(pos))):
+        cm = np.maximum.accumulate(end[s:e])
+        boundary[s + 1:e] = pos[s + 1:e] - gap > cm[:-1]
+    starts = np.nonzero(boundary)[0]
+    out = pd.DataFrame({
+        '#CHROM': chrom[starts],
+        'POS': pos[starts],
+        'END': np.maximum.reduceat(end, starts),
+    })
+    if drop_final and out.shape[0]:
+        out = out.iloc[:-1].reset_index(drop=True)
+    return out
 
 
 def flag_cluster(df, vartype, cluster_win=200, cluster_win_min=500,
@@ -104,25 +132,29 @@ def flag_cluster(df, vartype, cluster_win=200, cluster_win_min=500,
         raise ValueError(f'Bad variant type: {vartype}')
 
     df = df.sort_values(['#CHROM', 'POS'])
-    mid = ((df['END'].to_numpy() + df['POS'].to_numpy()) // 2)
+    if df.shape[0] == 0:
+        return pd.DataFrame([], columns=['#CHROM', 'POS', 'END', 'COUNT'])
+    mid = ((df['END'].to_numpy(dtype=np.int64)
+            + df['POS'].to_numpy(dtype=np.int64)) // 2)
     chroms = df['#CHROM'].to_numpy()
 
-    out = []
-    chrom = None
-    cpos = cend = 0
-    count = 0
-    for c, p in zip(chroms, mid):
-        p = int(p)
-        if c == chrom and p < cend + cluster_win:
-            count += 1
-            cend = p
-        else:
-            if count >= cluster_min and (cend - cpos) >= cluster_win_min:
-                out.append((chrom, cpos, cend, count))
-            chrom, cpos, cend, count = c, p, p, 1
-    if count >= cluster_min and (cend - cpos) >= cluster_win_min:
-        out.append((chrom, cpos, cend, count))
-    return pd.DataFrame(out, columns=['#CHROM', 'POS', 'END', 'COUNT'])
+    # The chain test is pairwise (each row against the PREVIOUS row's
+    # midpoint, not a running max), so boundaries come from one shifted
+    # comparison; regions are the runs between boundaries.
+    boundary = np.concatenate(
+        [[True], (chroms[1:] != chroms[:-1]) | (mid[1:] >= mid[:-1] + cluster_win)])
+    starts = np.nonzero(boundary)[0]
+    last = np.append(starts[1:], len(mid)) - 1
+    count = np.append(starts[1:], len(mid)) - starts
+    cpos = mid[starts]
+    cend = mid[last]
+    keep = (count >= cluster_min) & ((cend - cpos) >= cluster_win_min)
+    return pd.DataFrame({
+        '#CHROM': chroms[starts[keep]],
+        'POS': cpos[keep],
+        'END': cend[keep],
+        'COUNT': count[keep],
+    })
 
 
 def merge_flagged_loci(df_insdel_sv, df_insdel_indel, df_cluster_indel,

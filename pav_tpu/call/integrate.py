@@ -226,14 +226,18 @@ def read_variant_tables(df_list):
 
     filter_dict = collections.defaultdict(set)
     compound_dict = collections.defaultdict(set)
+    idx_arr = df.index.to_numpy(dtype=object)
     if 'COMPOUND' in df.columns:
-        for index, val in df['COMPOUND'].items():
+        comp_arr = df['COMPOUND'].to_numpy(dtype=object)
+        for p in range(len(comp_arr)):
+            val = comp_arr[p]
             if isinstance(val, str) and val.strip():
-                compound_dict[index] |= {v.strip() for v in val.split(',') if v.strip()}
+                compound_dict[idx_arr[p]] |= {
+                    v.strip() for v in val.split(',') if v.strip()}
         del df['COMPOUND']
-    for index, val in df['FILTER'].items():
-        if val != 'PASS':
-            filter_dict[index].add(val)
+    filt_arr = df['FILTER'].to_numpy(dtype=object)
+    for p in np.nonzero(filt_arr != 'PASS')[0]:
+        filter_dict[idx_arr[p]].add(filt_arr[p])
     return df, filter_dict, compound_dict
 
 
@@ -371,35 +375,54 @@ def val_per_hap(df, df_dict, col_name, delim=';'):
 def _pack_per_hap_columns(df, df_dict, col_names, delim=';'):
     """Columnar val_per_hap over many columns at once: explode the
     (hap, variant-ID) pairs one time, resolve values with per-hap batched
-    ``.loc`` lookups (no per-row scalar access), and string-join per row
-    (reference: pavlib/call.py:122-148)."""
-    hap_lists = [str(v).split(';') for v in df['HAP']]
-    var_lists = [str(v).split(';') for v in df['HAP_VARIANTS']]
-    counts = np.fromiter((len(h) for h in hap_lists), dtype=np.int64,
-                         count=len(hap_lists))
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    flat_hap = np.array([h for hl in hap_lists for h in hl], dtype=object)
-    flat_var = np.array([v for vl in var_lists for v in vl], dtype=object)
-    hap_masks = {h: flat_hap == h for h in dict.fromkeys(flat_hap.tolist())}
+    index lookups (no per-row scalar access), and group-concat per row
+    (reference: pavlib/call.py:122-148).
 
-    # Plain-dict row lookup + numpy object columns: pandas .loc on
-    # arrow-backed string frames pays a pyarrow take per call.
-    hap_positions = {}
-    for h, mask in hap_masks.items():
-        idpos = {v: i for i, v in enumerate(
-            df_dict[h].index.to_numpy(dtype=object))}
-        hap_positions[h] = np.fromiter(
-            (idpos[v] for v in flat_var[mask]), dtype=np.int64,
-            count=int(mask.sum()))
+    HAP holds combinations of at most len(hap_list) haplotype names, so it is
+    factorized and only the unique combos are split; HAP_VARIANTS is per-row
+    distinct and is split row-wise. Value stringification uses one vectorized
+    astype(str) per (hap, column) and the row join is util.join_ragged (one
+    concat pass per extra haplotype)."""
+    from itertools import chain
+
+    from ..util import join_ragged
+
+    hap_codes, hap_uniq = pd.factorize(
+        df['HAP'].astype(str).to_numpy(dtype=object))
+    uniq_splits = [u.split(';') for u in hap_uniq]
+    uniq_counts = np.array([len(s) for s in uniq_splits], dtype=np.int64)
+    counts = (uniq_counts[hap_codes] if len(hap_codes)
+              else np.zeros(0, dtype=np.int64))
+    total = int(counts.sum())
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    uniq_arrs = [np.array(s, dtype=object) for s in uniq_splits]
+    flat_hap = (np.concatenate([uniq_arrs[c] for c in hap_codes])
+                if total else np.zeros(0, dtype=object))
+    var_lists = [v.split(';')
+                 for v in df['HAP_VARIANTS'].astype(str).to_numpy(dtype=object)]
+    flat_var = np.fromiter(chain.from_iterable(var_lists), dtype=object,
+                           count=total)
+    hap_masks = {h: flat_hap == h
+                 for h in dict.fromkeys(chain.from_iterable(uniq_splits))}
+
+    # Vectorized hash lookup of variant IDs -> row positions per hap.
+    hap_positions = {
+        h: df_dict[h].index.get_indexer(pd.Index(flat_var[mask]))
+        for h, mask in hap_masks.items()
+    }
+    for h, pos in hap_positions.items():
+        if len(pos) and pos.min() < 0:
+            missing = flat_var[hap_masks[h]][pos < 0][:3]
+            raise KeyError(f'HAP_VARIANTS ids not in {h} callset: {missing}')
 
     out = {}
     for col in col_names:
-        flat_vals = np.empty(len(flat_hap), dtype=object)
+        flat_vals = np.empty(total, dtype=object)
         for h, mask in hap_masks.items():
-            col_arr = df_dict[h][col].to_numpy(dtype=object)
-            flat_vals[mask] = [str(v) for v in col_arr[hap_positions[h]]]
-        out[col] = [delim.join(flat_vals[s:e])
-                    for s, e in zip(offsets[:-1], offsets[1:])]
+            col_arr = df_dict[h][col].astype(str).to_numpy(dtype=object)
+            flat_vals[mask] = col_arr[hap_positions[h]]
+        out[col] = join_ragged(flat_vals, offsets[:-1], counts, delim).tolist()
     return out
 
 
@@ -409,22 +432,30 @@ def _genotype_columns(df, hap_list, callable_idx_list):
     (reference: pavlib/call.py:99-119, containment per call.py:114-117).
     Columnar: numpy column arrays + interval-index binary searches, no per-row
     pandas access."""
-    hap_sets = [set(str(v).split(';')) for v in df['HAP']]
-    chrom_arr = df['#CHROM'].to_numpy()
-    pos_arr = df['POS'].to_numpy()
-    end_arr = df['END'].to_numpy()
     n = len(df)
+    hap_codes, hap_uniq = pd.factorize(
+        df['HAP'].astype(str).to_numpy(dtype=object))
+    uniq_sets = [set(u.split(';')) for u in hap_uniq]
+    chrom_arr = df['#CHROM'].to_numpy(dtype=object)
+    pos_arr = df['POS'].to_numpy(dtype=np.int64) if n else np.zeros(0, np.int64)
+    end_arr = df['END'].to_numpy(dtype=np.int64) if n else np.zeros(0, np.int64)
 
     cols = []
     for hap, cidx in zip(hap_list, callable_idx_list):
-        out = np.empty(n, dtype=object)
-        for j in range(n):
-            if hap in hap_sets[j]:
-                out[j] = '1'
-            else:
-                idx = cidx.get(chrom_arr[j])
-                out[j] = ('0' if idx is not None
-                          and idx.any_contains(pos_arr[j], end_arr[j]) else '.')
+        member = np.array([hap in s for s in uniq_sets], dtype=bool)
+        called = member[hap_codes] if n else np.zeros(0, dtype=bool)
+        out = np.full(n, '.', dtype=object)
+        out[called] = '1'
+        miss = np.nonzero(~called)[0]
+        if len(miss):
+            miss_chroms = chrom_arr[miss]
+            for chrom in dict.fromkeys(miss_chroms.tolist()):
+                idx = cidx.get(chrom)
+                if idx is None:
+                    continue
+                sel = miss[miss_chroms == chrom]
+                contained = idx.contains_batch(pos_arr[sel], end_arr[sel])
+                out[sel[contained]] = '0'
         cols.append(out)
     return cols
 

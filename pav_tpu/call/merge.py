@@ -456,18 +456,20 @@ def _merge_nrsnv_exact(dfs, sample_names):
     g_end = np.append(g_start[1:], len(order2))
     lead_pos = order2[g_start]                 # first occurrence = lead
 
+    from ..util import join_ragged
+
     names_arr = np.array(sample_names, dtype=object)[srcs]
-    samples_s, variants_s, ones_s, zeros_s = [], [], [], []
-    rep_cache = {}
-    for s, e in zip(g_start, g_end):
-        grp = order2[s:e]
-        samples_s.append(','.join(names_arr[grp]))
-        variants_s.append(','.join(str(v) for v in ids[grp]))
-        k = e - s
-        if k not in rep_cache:
-            rep_cache[k] = (','.join(['1'] * k), ','.join(['0'] * k))
-        ones_s.append(rep_cache[k][0])
-        zeros_s.append(rep_cache[k][1])
+    g_counts = g_end - g_start
+    # Groups are contiguous in order2: join by one concat pass per extra
+    # member (vectorized; the per-group Python join was the hot loop here).
+    name_flat = names_arr[order2]
+    id_flat = np.array([str(v) for v in ids], dtype=object)[order2]
+    samples_s = join_ragged(name_flat, g_start, g_counts, ',')
+    variants_s = join_ragged(id_flat, g_start, g_counts, ',')
+    rep_cache = {int(k): (','.join(['1'] * int(k)), ','.join(['0'] * int(k)))
+                 for k in np.unique(g_counts)}
+    ones_s = np.array([rep_cache[int(k)][0] for k in g_counts], dtype=object)
+    zeros_s = np.array([rep_cache[int(k)][1] for k in g_counts], dtype=object)
 
     lead_si = srcs[lead_pos]
     lead_ri = rows[lead_pos]

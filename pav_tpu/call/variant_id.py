@@ -12,9 +12,17 @@ def version_id(id_series, existing_id_set=None):
     existing_id_set); later occurrences get the lowest free version.
     """
     existing = set(existing_id_set) if existing_id_set else set()
+    vals = (id_series.to_numpy(dtype=object) if isinstance(id_series, pd.Series)
+            else np.array(list(id_series), dtype=object))
+    # Fast path: no duplicates and no collisions -> IDs pass through as-is.
+    if pd.Index(vals).is_unique and (
+            not existing or not any(v in existing for v in vals)):
+        if isinstance(id_series, pd.Series):
+            return pd.Series(vals, index=id_series.index)
+        return list(vals)
     next_version = {}
     out = []
-    for vid in id_series:
+    for vid in vals:
         if vid not in next_version and vid not in existing:
             next_version[vid] = 1
             out.append(vid)
@@ -63,10 +71,12 @@ def version_variant_bed_id(df, re_version=False):
     work['QRY_REGION'] = df['QRY_REGION'] if 'QRY_REGION' in df.columns else 'chrUn:0-0'
 
     if re_version:
-        work['ID'] = work['ID'].apply(lambda val: val.rsplit('.', 1)[0])
+        work['ID'] = [v.rsplit('.', 1)[0]
+                      for v in work['ID'].astype(str).to_numpy(dtype=object)]
 
     work = work.reset_index(names='_orig')
-    work['FILTER'] = work['FILTER'].fillna('').apply(lambda v: ('a' if v == 'PASS' else 'b') + str(v))
+    filt = work['FILTER'].fillna('').astype(str).to_numpy(dtype=object)
+    work['FILTER'] = np.where(filt == 'PASS', 'a', 'b').astype(object) + filt
     qry = work['QRY_REGION'].astype(str).str.extract(r'^([^:]+):(\d+)-')
     work['QRY_ID'] = qry[0]
     work['QRY_POS'] = pd.to_numeric(qry[1], errors='coerce').fillna(0).astype(int)

@@ -156,6 +156,20 @@ class IntervalIndex:
             i -= 1
         return False
 
+    def contains_batch(self, qs, qe):
+        """Vectorized any_contains over many queries: containment holds iff
+        some interval has start <= qs and end >= qe, i.e. iff the running
+        max-end over intervals with start <= qs reaches qe."""
+        qs = np.asarray(qs, dtype=np.int64)
+        qe = np.asarray(qe, dtype=np.int64)
+        out = np.zeros(len(qs), dtype=bool)
+        if len(self.starts) == 0 or len(qs) == 0:
+            return out
+        hi = np.searchsorted(self.starts, qs, side='right')
+        ok = hi > 0
+        out[ok] = self.max_end_prefix[hi[ok] - 1] >= qe[ok]
+        return out
+
     def any_overlap(self, qs, qe):
         if len(self.starts) == 0 or qe <= qs:
             return False
@@ -166,6 +180,29 @@ class IntervalIndex:
                 return True
             i -= 1
         return False
+
+
+def join_ragged(flat, starts, counts, delim):
+    """Delimiter-join contiguous ragged groups of an object string array.
+
+    Equivalent to ``[delim.join(flat[s:s+c]) for s, c in zip(starts, counts)]``
+    but vectorized over groups: one elementwise-concat pass per extra member,
+    so cost scales with the number of multi-member groups (small for diploid
+    merges) instead of paying a join + slice per row.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(starts) == 0:
+        return np.zeros(0, dtype=object)
+    out = flat[starts].copy()
+    kmax = int(counts.max()) if len(counts) else 0
+    for k in range(1, kmax):
+        m = counts > k
+        if not m.any():
+            break
+        out[m] = out[m] + delim
+        out[m] = out[m] + flat[starts[m] + k]
+    return out
 
 
 def build_interval_index_by_chrom(df, pos_col='POS', end_col='END', chrom_col='#CHROM'):

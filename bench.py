@@ -257,6 +257,12 @@ def repeat_child():
                       write_vcf=False)
     rep_elapsed = min(time.time() - t0, warm_s)
     print(f'REPEAT {len(rhap) / 1e6:.4f} {rep_elapsed:.4f}', flush=True)
+    # Stage breakdown of the timed pass (diagnostic; parsed as REPSTAGE lines).
+    stage_tot = {}
+    for (_, stage), secs in rpipe2.timings.items():
+        stage_tot[stage] = stage_tot.get(stage, 0.0) + secs
+    for stage, secs in sorted(stage_tot.items(), key=lambda kv: -kv[1]):
+        print(f'REPSTAGE {stage} {secs:.3f}', flush=True)
 
 
 def run_repeat_bounded():
@@ -270,6 +276,7 @@ def run_repeat_bounded():
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--repeat-child'],
             timeout=timeout, capture_output=True, text=True, env=env)
+        repeat_mbp_s = None
         for line in proc.stdout.splitlines():
             if line.startswith('REPEAT '):
                 _, mbp, secs = line.split()
@@ -278,7 +285,11 @@ def run_repeat_bounded():
                     f'[bench] repeat-rich genome: {float(mbp):.1f} Mbp in '
                     f'{float(secs):.2f}s = {repeat_mbp_s:.3f} Mbp/s '
                     f'({repeat_mbp_s / BASELINE_MBP_S:.2f}x baseline)\n')
-                return repeat_mbp_s
+            elif line.startswith('REPSTAGE '):
+                _, stage, secs = line.split()
+                sys.stderr.write(f'[bench]   repeat {stage:<14} {float(secs):7.2f}s\n')
+        if repeat_mbp_s is not None:
+            return repeat_mbp_s
         sys.stderr.write(f'[bench] repeat-rich benchmark failed '
                          f'(rc={proc.returncode}): '
                          f'{proc.stderr.strip().splitlines()[-1:]}\n')
@@ -288,8 +299,64 @@ def run_repeat_bounded():
     return None
 
 
+def start_wedge_watchdog(threshold_s=None):
+    """Re-exec this process if the device link wedges.
+
+    The tunneled accelerator transport can hang indefinitely on a single
+    device->host read (observed repeatedly: a calibration child succeeds,
+    then the parent's first read never returns). runtime.fetch heartbeats
+    every completed read; if no read completes for threshold_s while armed,
+    re-exec with a fresh client connection (compile cache + backend probe
+    results persist, so a restart costs seconds). After 3 wedge restarts,
+    fall back to the CPU backend so the benchmark always emits its JSON.
+
+    Returns a state dict; set state['armed'] = False around phases with no
+    expected device traffic (e.g. the child-process repeat benchmark).
+    """
+    import threading
+
+    from pav_tpu import runtime
+
+    if threshold_s is None:
+        threshold_s = float(os.environ.get('PAV_BENCH_WEDGE_S', 240))
+    state = {'armed': True}
+    runtime.mark_progress()
+
+    def loop():
+        while True:
+            time.sleep(10)
+            if not state['armed']:
+                runtime.mark_progress()   # don't count disarmed time as idle
+                continue
+            idle = time.time() - runtime.last_progress()
+            if idle <= threshold_s:
+                continue
+            retry = int(os.environ.get('PAV_BENCH_WEDGE_RETRY', 0))
+            env = dict(os.environ)
+            env['PAV_BENCH_WEDGE_RETRY'] = str(retry + 1)
+            env['PAV_BENCH_PROBED'] = '1'
+            if retry >= 3:
+                env['JAX_PLATFORMS'] = 'cpu'
+            sys.stderr.write(
+                f'[bench] device link wedged (no completed transfer for '
+                f'{idle:.0f}s); re-exec with a fresh connection '
+                f'(retry {retry + 1}'
+                + (', falling back to CPU backend' if retry >= 3 else '')
+                + ')\n')
+            sys.stderr.flush()
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
+
+    threading.Thread(target=loop, daemon=True).start()
+    return state
+
+
 def main():
     ensure_healthy_backend()
+
+    wedge_state = (start_wedge_watchdog()
+                   if os.environ.get('JAX_PLATFORMS') != 'cpu' else
+                   {'armed': False})
 
     # Prime the compile cache in disposable child processes BEFORE this
     # process touches the device: a tunneled server-side compile can wedge
@@ -330,11 +397,15 @@ def main():
     warm_bytes = int(float(os.environ.get('PAV_BENCH_PREFAULT_GB', 3)) * 1e9)
     retain_heap(warm_bytes)
 
+    from pav_tpu.runtime import mark_progress
+    mark_progress()   # host-only phases above can exceed the wedge threshold
+
     verbose = os.environ.get('PAV_BENCH_VERBOSE') == '1'
     logf = sys.stderr if verbose else open(os.devnull, 'w')
 
     ref_len = int(REF_MBP * 1e6)
     ref, h1, h2, t1, t2 = build_genome(ref_len, SEED)
+    mark_progress()   # genome synthesis is host-only
 
     ref_store = SeqStore({'chr1': ref})
     contig_mbp = (len(h1) + len(h2)) / 1e6
@@ -410,6 +481,7 @@ def main():
     # headline metric for cross-round comparability. Runs in a child process
     # under a hard timeout: the headline JSON line must be emitted even if
     # this phase wedges (e.g. an unprimed shape compiling over the tunnel).
+    wedge_state['armed'] = False   # child process: no parent device traffic
     repeat_mbp_s = run_repeat_bounded()
 
     value = contig_mbp / elapsed

@@ -12,15 +12,37 @@ import numpy as np
 # only serializes the final waits.
 TRANSFER_LOCK = threading.Lock()
 
+# Heartbeat of completed device->host reads. Tunneled transports can wedge
+# indefinitely on a single read (observed: calibration succeeds, then the
+# next process's first read never returns); watchdogs poll last_progress()
+# to detect a wedged link and restart with a fresh client connection.
+_PROGRESS = {'t': None}
+
+
+def mark_progress():
+    import time
+    _PROGRESS['t'] = time.time()
+
+
+def last_progress():
+    import time
+    if _PROGRESS['t'] is None:
+        _PROGRESS['t'] = time.time()
+    return _PROGRESS['t']
+
 
 def fetch(arr):
     """np.asarray(device_array) with the accelerator transfer lock held."""
     import jax
 
     if jax.default_backend() == 'cpu':
-        return np.asarray(arr)
+        out = np.asarray(arr)
+        mark_progress()
+        return out
     with TRANSFER_LOCK:
-        return np.asarray(arr)
+        out = np.asarray(arr)
+    mark_progress()
+    return out
 
 
 def retain_heap(warm_bytes=0):

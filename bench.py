@@ -252,6 +252,10 @@ def repeat_child():
     warm_s = time.time() - t0
     rpipe2 = Pipeline(SeqStore({'chr1': rref}),
                       {'aligner_min_chain_score': 1000}, log=None)
+    from pav_tpu.align.aligner import chain as chain_mod
+    from pav_tpu.align.aligner.core import align_stats_reset
+    align_stats_reset()
+    chain_mod.chain_stats_reset()
     t0 = time.time()
     rpipe2.run_sample('bench_rep', {'h1': SeqStore({'rtig1': rhap})},
                       write_vcf=False)
@@ -263,6 +267,10 @@ def repeat_child():
         stage_tot[stage] = stage_tot.get(stage, 0.0) + secs
     for stage, secs in sorted(stage_tot.items(), key=lambda kv: -kv[1]):
         print(f'REPSTAGE {stage} {secs:.3f}', flush=True)
+    from pav_tpu.align.aligner.core import ALIGN_STATS
+    for key, secs in {**ALIGN_STATS, **chain_mod.CHAIN_STATS}.items():
+        if isinstance(secs, float):
+            print(f'REPSTAGE align.{key} {secs:.3f}', flush=True)
 
 
 def run_repeat_bounded():

@@ -89,124 +89,188 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
             if key in multi_set:
                 group_rows.setdefault(key, []).append(rec)
 
-    for chrom, qid in multi:
-        ref_seq = ref_store.get(chrom)
-        rows = group_rows[(chrom, qid)]
-        n_idx = len(rows)
+    def direct_scan(region_flag):
+        return inv_mod.scan_for_inv(
+            region_flag, ref_store, qry_store, align_lift, k_util,
+            n_index=n_index, max_region_size=max_region_size,
+            log=log, min_exp_count=1, strict_parity=strict_parity)
 
-        for sub1 in range(n_idx - 1):
-            row1 = rows[sub1]
-            is_rev = bool(row1['REV'])
-            sub2 = sub1 + 1
+    def walk(scan_fn, emit):
+        """The pair scan. With emit=False this is the candidate-collection
+        (pessimistic) pass: scan_fn records the region and returns None, and
+        no variant rows are built. With emit=True it is the real sequential
+        pass producing rows in deterministic order."""
+        for chrom, qid in multi:
+            ref_seq = ref_store.get(chrom) if emit else None
+            rows = group_rows[(chrom, qid)]
+            n_idx = len(rows)
 
-            while sub2 < n_idx:
-                row2 = rows[sub2]
+            for sub1 in range(n_idx - 1):
+                row1 = rows[sub1]
+                is_rev = bool(row1['REV'])
+                sub2 = sub1 + 1
 
-                if bool(row2['REV']) == is_rev:
-                    # INS/DEL/2-record-INV scan
-                    if row1['QRY_POS'] < row2['QRY_POS']:
-                        if row2['QRY_POS'] < row1['QRY_END']:
-                            raise RuntimeError(
-                                'Contig ranges overlap for two alignment records '
-                                '(should not occur after trimming)')
-                        query_pos = row1['QRY_END']
-                        query_end = row2['QRY_POS']
-                    else:
-                        if row1['QRY_POS'] < row2['QRY_END']:
-                            raise RuntimeError(
-                                'Contig ranges overlap for two alignment records '
-                                '(should not occur after trimming)')
-                        query_pos = row2['QRY_END']
-                        query_end = row1['QRY_POS']
+                while sub2 < n_idx:
+                    row2 = rows[sub2]
 
-                    dist_tig = query_end - query_pos
-                    dist_ref = row2['POS'] - row1['END']
-
-                    if dist_tig < 0:
-                        raise RuntimeError('Contig query positions out of order (program bug)')
-
-                    min_aln_len = min(row1['ALN_LEN'], row2['ALN_LEN'])
-                    min_mapq = min(row1['MAPQ'], row2['MAPQ'])
-
-                    if min_aln_len < DIST_PROP_LEN_MAPQ[0] or min_mapq < DIST_PROP_LEN_MAPQ[1]:
-                        if (abs(dist_tig) / min_aln_len > max_qry_dist_prop
-                                or abs(dist_ref) / min_aln_len > max_ref_dist_prop):
-                            sub2 += 1
-                            continue
-
-                    if dist_ref >= 50 and dist_tig < 50:
-                        del_list.append(_call_del(
-                            chrom, qid, row1, row2, query_pos, dist_ref, dist_tig,
-                            ref_seq, tig_oriented(qid, is_rev), is_rev, hap, log,
-                            strict_parity=strict_parity))
-                        break
-                    elif dist_ref < 50 and dist_tig >= 50:
-                        ins_list.append(_call_ins(
-                            chrom, qid, row1, row2, query_pos, query_end,
-                            dist_ref, dist_tig, ref_seq,
-                            tig_oriented(qid, is_rev), is_rev, hap, log,
-                            qry_store, strict_parity=strict_parity))
-                        break
-                    elif dist_ref >= 50 and dist_tig >= 50:
-                        region_flag = Region(chrom, row1['END'], row2['POS'],
-                                             is_rev=is_rev)
-                        inv_call = inv_mod.scan_for_inv(
-                            region_flag, ref_store, qry_store, align_lift, k_util,
-                            n_index=n_index, max_region_size=max_region_size,
-                            log=log, min_exp_count=1, strict_parity=strict_parity)
-                        if inv_call is not None and inv_call.id not in inv_id_set:
-                            _log(log, f'INV (2-tig): {inv_call}')
-                            inv_list.append(_inv_row(
-                                inv_call, hap, is_rev, CALL_SOURCE_ALNTRUNC_DEN,
-                                f"{row1['INDEX']},{row2['INDEX']}", qry_store))
-                            inv_id_set.add(inv_call.id)
-                            if inv_call_out is not None:
-                                inv_call_out.append(inv_call)
-                            break
-                    sub2 += 1
-
-                elif sub2 + 1 < n_idx:
-                    # 3-record inversion signature (+,-,+ or -,+,-)
-                    sub3 = sub2 + 1
-                    row2_mid = row2
-                    row3 = rows[sub3]
-                    mid = (row2_mid['QRY_POS'] + row2_mid['QRY_END']) // 2
-                    if (bool(row3['REV']) == bool(row1['REV'])
-                            and ((not row1['REV'] and row1['QRY_END'] < mid < row3['QRY_POS'])
-                                 or (row1['REV'] and row3['QRY_POS'] < mid < row1['QRY_END']))):
-
-                        region_flag = Region(chrom, row1['END'], row3['POS'],
-                                             is_rev=bool(row1['REV']))
-                        inv_call = inv_mod.scan_for_inv(
-                            region_flag, ref_store, qry_store, align_lift, k_util,
-                            n_index=n_index, max_region_size=max_region_size,
-                            log=log, min_exp_count=1, strict_parity=strict_parity)
-
-                        if inv_call is None and sub2 == sub1 + 1 and sub3 == sub1 + 2:
-                            # Alignment-supported fallback without density
-                            region_ref = Region(chrom, row2_mid['POS'], row2_mid['END'])
-                            region_tig = Region(row2_mid['QRY_ID'],
-                                                row2_mid['QRY_POS'], row2_mid['QRY_END'])
-                            inv_call = inv_mod.InvCall(
-                                region_ref, region_ref, region_tig, region_tig,
-                                region_ref, region_tig, region_ref, None)
-                            call_source = CALL_SOURCE_ALNTRUNC_NODEN
+                    if bool(row2['REV']) == is_rev:
+                        # INS/DEL/2-record-INV scan
+                        if row1['QRY_POS'] < row2['QRY_POS']:
+                            if row2['QRY_POS'] < row1['QRY_END']:
+                                raise RuntimeError(
+                                    'Contig ranges overlap for two alignment records '
+                                    '(should not occur after trimming)')
+                            query_pos = row1['QRY_END']
+                            query_end = row2['QRY_POS']
                         else:
-                            call_source = CALL_SOURCE_ALNTRUNC_DEN
+                            if row1['QRY_POS'] < row2['QRY_END']:
+                                raise RuntimeError(
+                                    'Contig ranges overlap for two alignment records '
+                                    '(should not occur after trimming)')
+                            query_pos = row2['QRY_END']
+                            query_end = row1['QRY_POS']
 
-                        if inv_call is not None and inv_call.id not in inv_id_set:
-                            _log(log, f'INV (3-tig): {inv_call}')
-                            inv_list.append(_inv_row(
-                                inv_call, hap, is_rev, call_source,
-                                f"{row1['INDEX']},{row2_mid['INDEX']},{row3['INDEX']}",
-                                qry_store))
-                            inv_id_set.add(inv_call.id)
-                            if inv_call_out is not None:
-                                inv_call_out.append(inv_call)
+                        dist_tig = query_end - query_pos
+                        dist_ref = row2['POS'] - row1['END']
+
+                        if dist_tig < 0:
+                            raise RuntimeError('Contig query positions out of order (program bug)')
+
+                        min_aln_len = min(row1['ALN_LEN'], row2['ALN_LEN'])
+                        min_mapq = min(row1['MAPQ'], row2['MAPQ'])
+
+                        if min_aln_len < DIST_PROP_LEN_MAPQ[0] or min_mapq < DIST_PROP_LEN_MAPQ[1]:
+                            if (abs(dist_tig) / min_aln_len > max_qry_dist_prop
+                                    or abs(dist_ref) / min_aln_len > max_ref_dist_prop):
+                                sub2 += 1
+                                continue
+
+                        if dist_ref >= 50 and dist_tig < 50:
+                            if emit:
+                                del_list.append(_call_del(
+                                    chrom, qid, row1, row2, query_pos, dist_ref, dist_tig,
+                                    ref_seq, tig_oriented(qid, is_rev), is_rev, hap, log,
+                                    strict_parity=strict_parity))
                             break
-                    sub2 += 1
-                else:
-                    sub2 += 1
+                        elif dist_ref < 50 and dist_tig >= 50:
+                            if emit:
+                                ins_list.append(_call_ins(
+                                    chrom, qid, row1, row2, query_pos, query_end,
+                                    dist_ref, dist_tig, ref_seq,
+                                    tig_oriented(qid, is_rev), is_rev, hap, log,
+                                    qry_store, strict_parity=strict_parity))
+                            break
+                        elif dist_ref >= 50 and dist_tig >= 50:
+                            region_flag = Region(chrom, row1['END'], row2['POS'],
+                                                 is_rev=is_rev)
+                            inv_call = scan_fn(region_flag)
+                            if inv_call is not None and inv_call.id not in inv_id_set:
+                                _log(log, f'INV (2-tig): {inv_call}')
+                                inv_list.append(_inv_row(
+                                    inv_call, hap, is_rev, CALL_SOURCE_ALNTRUNC_DEN,
+                                    f"{row1['INDEX']},{row2['INDEX']}", qry_store))
+                                inv_id_set.add(inv_call.id)
+                                if inv_call_out is not None:
+                                    inv_call_out.append(inv_call)
+                                break
+                        sub2 += 1
+
+                    elif sub2 + 1 < n_idx:
+                        # 3-record inversion signature (+,-,+ or -,+,-)
+                        sub3 = sub2 + 1
+                        row2_mid = row2
+                        row3 = rows[sub3]
+                        mid = (row2_mid['QRY_POS'] + row2_mid['QRY_END']) // 2
+                        if (bool(row3['REV']) == bool(row1['REV'])
+                                and ((not row1['REV'] and row1['QRY_END'] < mid < row3['QRY_POS'])
+                                     or (row1['REV'] and row3['QRY_POS'] < mid < row1['QRY_END']))):
+
+                            region_flag = Region(chrom, row1['END'], row3['POS'],
+                                                 is_rev=bool(row1['REV']))
+                            inv_call = scan_fn(region_flag)
+
+                            if inv_call is None and sub2 == sub1 + 1 and sub3 == sub1 + 2:
+                                # Alignment-supported fallback without density
+                                region_ref = Region(chrom, row2_mid['POS'], row2_mid['END'])
+                                region_tig = Region(row2_mid['QRY_ID'],
+                                                    row2_mid['QRY_POS'], row2_mid['QRY_END'])
+                                inv_call = inv_mod.InvCall(
+                                    region_ref, region_ref, region_tig, region_tig,
+                                    region_ref, region_tig, region_ref, None)
+                                call_source = CALL_SOURCE_ALNTRUNC_NODEN
+                            else:
+                                call_source = CALL_SOURCE_ALNTRUNC_DEN
+
+                            if inv_call is not None and inv_call.id not in inv_id_set:
+                                if emit:
+                                    _log(log, f'INV (3-tig): {inv_call}')
+                                    inv_list.append(_inv_row(
+                                        inv_call, hap, is_rev, call_source,
+                                        f"{row1['INDEX']},{row2_mid['INDEX']},{row3['INDEX']}",
+                                        qry_store))
+                                    inv_id_set.add(inv_call.id)
+                                    if inv_call_out is not None:
+                                        inv_call_out.append(inv_call)
+                                break
+                        sub2 += 1
+                    else:
+                        sub2 += 1
+
+    # Phase 1 (pessimistic walk): collect every INV-scan region the
+    # sequential pass could reach, assuming all scans fail. Failures do not
+    # alter control flow, and classification/gating is pure pair geometry, so
+    # the collected set is a superset of the regions the real pass scans
+    # (a successful scan only *breaks earlier*).
+    cand_keys, cand_regions = [], []
+    seen = set()
+
+    def collect_scan(region_flag):
+        key = (region_flag.chrom, region_flag.pos, region_flag.end,
+               bool(region_flag.is_rev))
+        if key not in seen:
+            seen.add(key)
+            cand_keys.append(key)
+            cand_regions.append(region_flag)
+        return None
+
+    walk(collect_scan, emit=False)
+    # Phase-1 emit=False never touches inv_list even on the 3-tig no-density
+    # fallback path; assert the pessimistic pass stayed side-effect-free.
+    assert not ins_list and not del_list and not inv_list
+
+    # Phase 2: speculative scans in parallel. scan_for_inv is a pure function
+    # of the region (stores/lift/params fixed), so results memoize by region
+    # key; the device KDE dispatch of one region overlaps the host k-mer work
+    # of others (same threading model as the inv_scan stage).
+    memo = {}
+    if len(cand_regions) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def scan_capture(region):
+            try:
+                return ('ok', direct_scan(region))
+            except RuntimeError as ex:
+                return ('raise', ex)
+
+        with ThreadPoolExecutor(max_workers=min(4, len(cand_regions))) as pool:
+            for key, result in zip(cand_keys, pool.map(scan_capture, cand_regions)):
+                memo[key] = result
+
+    # Phase 3: exact sequential replay with memoized results (deterministic
+    # row order, ID versioning, and dedup regardless of thread timing). A
+    # memo miss (only possible after a duplicate-ID accept, which breaks
+    # later in the real pass than the pessimistic one) scans directly.
+    def replay_scan(region_flag):
+        key = (region_flag.chrom, region_flag.pos, region_flag.end,
+               bool(region_flag.is_rev))
+        kind, val = memo.get(key, (None, None))
+        if kind is None:
+            return direct_scan(region_flag)
+        if kind == 'raise':
+            raise val
+        return val
+
+    walk(replay_scan, emit=True)
 
     df_ins = _finish(ins_list, INSDEL_COLUMNS, version_ids)
     df_del = _finish(del_list, INSDEL_COLUMNS, version_ids)

@@ -347,3 +347,41 @@ def test_annotate_depth_spanning():
     assert abs(b['COV_MEAN'] - (50 * 1 + 100 * 0 + 50 * 2) / 200) < 1e-9
     assert abs(b['COV_PROP'] - 100 / 200) < 1e-9
     assert out.loc[out['ID'] == 'ins_end', 'COV_MEAN'].iloc[0] == 2
+
+
+def test_join_ragged():
+    from pav_tpu.util import join_ragged
+
+    flat = np.array(['a', 'b', 'c', 'd', 'e', 'f'], dtype=object)
+    starts = np.array([0, 1, 3])
+    counts = np.array([1, 2, 3])
+    out = join_ragged(flat, starts, counts, ';')
+    assert out.tolist() == ['a', 'b;c', 'd;e;f']
+    # Empty input and single groups
+    assert join_ragged(np.zeros(0, dtype=object), [], [], ',').tolist() == []
+    assert join_ragged(flat, [5], [1], ',').tolist() == ['f']
+    # Matches the naive join for a randomized ragged layout
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, 5, 50)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat = np.array([str(v) for v in rng.integers(0, 100, int(counts.sum()))],
+                    dtype=object)
+    expect = [','.join(flat[s:s + c]) for s, c in zip(starts, counts)]
+    assert join_ragged(flat, starts, counts, ',').tolist() == expect
+
+
+def test_contains_batch_matches_scalar():
+    from pav_tpu.util import IntervalIndex
+
+    rng = np.random.default_rng(5)
+    starts = rng.integers(0, 1000, 40)
+    ends = starts + rng.integers(1, 300, 40)
+    idx = IntervalIndex(starts, ends)
+    qs = rng.integers(0, 1200, 200)
+    qe = qs + rng.integers(0, 250, 200)
+    batch = idx.contains_batch(qs, qe)
+    for i in range(len(qs)):
+        assert batch[i] == idx.any_contains(int(qs[i]), int(qe[i])), i
+    # Empty index
+    empty = IntervalIndex(np.zeros(0, np.int64), np.zeros(0, np.int64))
+    assert not empty.contains_batch(qs[:3], qe[:3]).any()

@@ -29,6 +29,16 @@ import numpy as np
 
 BASELINE_MBP_S = 0.33
 
+# Global wall budget: the headline JSON line MUST land before the driver's
+# timeout (round 3 lost its number to rc=124). The start time survives the
+# wedge-watchdog re-execs via env, so every retry spends the same budget.
+BENCH_T0 = float(os.environ.setdefault('PAV_BENCH_T0', repr(time.time())))
+TOTAL_BUDGET_S = float(os.environ.get('PAV_BENCH_TOTAL_S', 1500))
+
+
+def budget_left():
+    return TOTAL_BUDGET_S - (time.time() - BENCH_T0)
+
 # 16 Mbp default: a long enough timed section to amortize host page-fault
 # and scheduling noise (this image's VM varies ~2x run to run at 8 Mbp).
 REF_MBP = float(os.environ.get('PAV_BENCH_REF_MBP', 16))
@@ -119,10 +129,14 @@ def ensure_healthy_backend():
     # client here (priming children need the link to themselves).
     if os.environ.get('JAX_PLATFORMS') == 'cpu':
         return
-    timeout = float(os.environ.get('PAV_BENCH_PROBE_TIMEOUT', 600))
+    # Each probe attempt gets at most a third of the remaining budget, so a
+    # wedged tunnel cannot eat the wall the headline JSON needs.
+    timeout = min(float(os.environ.get('PAV_BENCH_PROBE_TIMEOUT', 600)),
+                  max(60.0, budget_left() / 3))
     root = os.path.dirname(os.path.abspath(__file__))
 
     def probe(env_extra, tmo):
+        tmo = min(tmo, max(30.0, budget_left() - 120))
         env = dict(os.environ)
         env.update(env_extra)
         try:
@@ -277,7 +291,14 @@ def run_repeat_bounded():
     """Run the repeat-rich phase in a child process under a hard timeout;
     returns Mbp/s or None."""
     import subprocess
-    timeout = float(os.environ.get('PAV_BENCH_REPEAT_TIMEOUT', 1200))
+    # The headline JSON is already printed by now; still exit cleanly within
+    # the global budget so the driver records rc=0.
+    timeout = min(float(os.environ.get('PAV_BENCH_REPEAT_TIMEOUT', 1200)),
+                  budget_left() - 20)
+    if timeout < 60:
+        sys.stderr.write('[bench] skipping repeat-rich phase '
+                         f'({budget_left():.0f}s of budget left)\n')
+        return None
     env = dict(os.environ)
     env['PAV_BENCH_PROBED'] = '1'   # same backend as the (possibly re-exec'd) parent
     try:
@@ -436,6 +457,10 @@ def main():
     n_iters = int(os.environ.get('PAV_BENCH_ITERS', 3))
     best = None
     for it in range(n_iters):
+        if best is not None and budget_left() < 3 * best[0] + 60:
+            sys.stderr.write(f'[bench] stopping after {it} iterations '
+                             f'({budget_left():.0f}s of budget left)\n')
+            break
         affine_dp.stats_reset()
         align_stats_reset()
         chain_mod.chain_stats_reset()
@@ -482,16 +507,9 @@ def main():
     sys.stderr.write('[bench] chain phases: ' + '  '.join(
         f'{k}={v:.2f}s' for k, v in chain_stats.items()) + '\n')
 
-    # Second metric: a repeat-rich genome at half scale (tandem arrays,
-    # diverged segdups, inverted dups, ALU-like family, N-gaps) — the inputs
-    # that actually stress max_occ filtering, chain ambiguity, and DP class
-    # mix (VERDICT r2 next #6). The uniform-genome number above stays the
-    # headline metric for cross-round comparability. Runs in a child process
-    # under a hard timeout: the headline JSON line must be emitted even if
-    # this phase wedges (e.g. an unprimed shape compiling over the tunnel).
-    wedge_state['armed'] = False   # child process: no parent device traffic
-    repeat_mbp_s = run_repeat_bounded()
-
+    # Emit the headline JSON line FIRST — everything after this point is
+    # optional enrichment and must never cost the round its number
+    # (round 3 lost its result to a timeout in the repeat phase).
     value = contig_mbp / elapsed
     out = {
         'metric': 'contig_mbp_aligned_called_per_s',
@@ -500,9 +518,21 @@ def main():
         'vs_baseline': round(value / BASELINE_MBP_S, 3),
         'mfu': round(mfu, 4),
     }
+    print(json.dumps(out), flush=True)
+
+    # Second metric: a repeat-rich genome at half scale (tandem arrays,
+    # diverged segdups, inverted dups, ALU-like family, N-gaps) — the inputs
+    # that actually stress max_occ filtering, chain ambiguity, and DP class
+    # mix (VERDICT r2 next #6). The uniform-genome number above stays the
+    # headline metric for cross-round comparability. Runs in a child process
+    # under a hard timeout bounded by the global budget. If it completes,
+    # re-print the SAME headline values enriched with the secondary metric,
+    # so a parser taking either the first or the last JSON line agrees.
+    wedge_state['armed'] = False   # child process: no parent device traffic
+    repeat_mbp_s = run_repeat_bounded()
     if repeat_mbp_s is not None:
         out['repeat_rich_mbp_s'] = round(repeat_mbp_s, 4)
-    print(json.dumps(out))
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == '__main__':

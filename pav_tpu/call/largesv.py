@@ -89,11 +89,12 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
             if key in multi_set:
                 group_rows.setdefault(key, []).append(rec)
 
-    def direct_scan(region_flag):
+    def direct_scan(region_flag, scan_log=None):
         return inv_mod.scan_for_inv(
             region_flag, ref_store, qry_store, align_lift, k_util,
             n_index=n_index, max_region_size=max_region_size,
-            log=log, min_exp_count=1, strict_parity=strict_parity)
+            log=log if scan_log is None else scan_log,
+            min_exp_count=1, strict_parity=strict_parity)
 
     def walk(scan_fn, emit):
         """The pair scan. With emit=False this is the candidate-collection
@@ -246,11 +247,22 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
     if len(cand_regions) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        import io as _io
+
         def scan_capture(region):
+            # Catch EVERY exception, not just RuntimeError: the phase-1
+            # candidate set is a superset of the regions the real sequential
+            # pass reaches (a successful scan breaks earlier), so a failure
+            # from a never-reached region must not abort the caller — it is
+            # re-raised only if the phase-3 replay actually gets there. Log
+            # lines go to a per-region buffer, flushed to the real log only
+            # by the replay (never-reached regions leave no log trace, and
+            # the sequential log order is deterministic).
+            buf = _io.StringIO()
             try:
-                return ('ok', direct_scan(region))
-            except RuntimeError as ex:
-                return ('raise', ex)
+                return ('ok', direct_scan(region, scan_log=buf), buf.getvalue())
+            except Exception as ex:
+                return ('raise', ex, buf.getvalue())
 
         with ThreadPoolExecutor(max_workers=min(4, len(cand_regions))) as pool:
             for key, result in zip(cand_keys, pool.map(scan_capture, cand_regions)):
@@ -263,9 +275,12 @@ def scan_for_events(df, ref_store, qry_store, hap, k_size=31, n_index=None,
     def replay_scan(region_flag):
         key = (region_flag.chrom, region_flag.pos, region_flag.end,
                bool(region_flag.is_rev))
-        kind, val = memo.get(key, (None, None))
+        kind, val, logged = memo.get(key, (None, None, ''))
         if kind is None:
             return direct_scan(region_flag)
+        if logged and log is not None:
+            log.write(logged)
+            log.flush()
         if kind == 'raise':
             raise val
         return val

@@ -40,6 +40,7 @@ host's engine additionally shards DP batches over its local mesh.
 import base64
 import json
 import os
+import time
 
 import numpy as np
 
@@ -112,8 +113,15 @@ class Cohort:
         finishing independent jobs after one fails)."""
         self.publish(f'fence/{name}/{self.process_id}', True)
         arrived = set()
+        # One shared deadline across all peers: with k dead members a
+        # sequential per-key timeout would stall k * timeout_s; a fetch of an
+        # already-published key returns immediately regardless of its
+        # timeout, so only genuinely-absent peers consume wall time.
+        deadline = time.time() + (self.timeout_s if timeout_s is None
+                                  else float(timeout_s))
         for p in range(self.num_processes):
-            if self.fetch(f'fence/{name}/{p}', timeout_s, default=None) is not None:
+            left = max(0.05, deadline - time.time())
+            if self.fetch(f'fence/{name}/{p}', left, default=None) is not None:
                 arrived.add(p)
         return arrived
 
@@ -165,7 +173,12 @@ class Cohort:
         if not tolerate_missing:
             return [self.fetch(f'{name}/{p}', timeout_s)
                     for p in range(self.num_processes)]
-        return [self.fetch(f'{name}/{p}', timeout_s, default=None)
+        # Shared deadline (see fence): k dead publishers cost one timeout
+        # total, not k timeouts.
+        deadline = time.time() + (self.timeout_s if timeout_s is None
+                                  else float(timeout_s))
+        return [self.fetch(f'{name}/{p}', max(0.05, deadline - time.time()),
+                           default=None)
                 for p in range(self.num_processes)]
 
 

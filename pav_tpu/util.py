@@ -195,6 +195,7 @@ def join_ragged(flat, starts, counts, delim):
     if len(starts) == 0:
         return np.zeros(0, dtype=object)
     out = flat[starts].copy()
+    out[counts == 0] = ''   # contract: zero-member groups join to ''
     kmax = int(counts.max()) if len(counts) else 0
     for k in range(1, kmax):
         m = counts > k

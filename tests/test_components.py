@@ -368,6 +368,10 @@ def test_join_ragged():
                     dtype=object)
     expect = [','.join(flat[s:s + c]) for s, c in zip(starts, counts)]
     assert join_ragged(flat, starts, counts, ',').tolist() == expect
+    # Zero-count groups join to '' (not the first element of the next group)
+    flat = np.array(['a', 'b', 'c'], dtype=object)
+    out = join_ragged(flat, [0, 1, 1, 2], [1, 0, 1, 1], ',')
+    assert out.tolist() == ['a', '', 'b', 'c']
 
 
 def test_contains_batch_matches_scalar():

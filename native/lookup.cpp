@@ -33,7 +33,16 @@ void index_count(const uint64_t* table_keys, const int64_t* table_vals,
                  const uint64_t* qh, int64_t nq, int64_t max_occ,
                  int64_t* out_counts) {
     const uint64_t mask = (1ull << log2_size) - 1;
+    // Each probe is a random access into a table far larger than L2; issuing
+    // the next queries' first-slot loads ahead hides most of the miss
+    // latency (queries are independent).
+    constexpr int64_t kPD = 16;
     for (int64_t i = 0; i < nq; ++i) {
+        if (i + kPD < nq) {
+            const uint64_t ps = qh[i + kPD] & mask;
+            __builtin_prefetch(&table_keys[ps]);
+            __builtin_prefetch(&table_vals[ps]);
+        }
         const uint64_t h = qh[i];
         uint64_t slot = h & mask;
         int64_t row = -1;
@@ -85,7 +94,10 @@ void index_fill_anchors(const uint64_t* table_keys, const int64_t* table_vals,
                         int64_t* out_qpos, int64_t* out_rpos,
                         int32_t* out_chrom, uint8_t* out_rev) {
     const uint64_t mask = (1ull << log2_size) - 1;
+    constexpr int64_t kPD = 16;
     for (int64_t i = 0; i < nq; ++i) {
+        if (i + kPD < nq && counts[i + kPD] != 0)
+            __builtin_prefetch(&table_keys[qh[i + kPD] & mask]);
         const int64_t c = counts[i];
         if (c == 0) continue;
         const uint64_t h = qh[i];

@@ -28,9 +28,14 @@ def _chain_scan(qpos, rpos, group, lookback, k, max_dist, max_gap_diff, gap_scal
         dr = r - r_buf
         dd = jnp.abs(dr - dq)
         match = jnp.minimum(jnp.minimum(dq, dr), k).astype(jnp.float32)
-        gap_cost = jnp.where(dd == 0, 0.0,
-                             gap_scale * dd.astype(jnp.float32)
-                             + 0.5 * jnp.log2(dd.astype(jnp.float32) + 1.0))
+        # Integer log2 via float-exponent extraction: bit-exact with the
+        # native kernel (native/chain.cpp ilog2_via_float) on every backend —
+        # int->float conversion is round-to-nearest in both. ilog2(1) = 0, so
+        # dd == 0 costs 0 without a special case. (minimap2-style gamma.)
+        fdd1 = (dd + 1).astype(jnp.float32)
+        ilog = (jax.lax.bitcast_convert_type(fdd1, jnp.int32) >> 23) - 127
+        gap_cost = (gap_scale * dd.astype(jnp.float32)
+                    + 0.5 * ilog.astype(jnp.float32))
 
         ok = ((g_buf == g) & (dq > 0) & (dr > 0)
               & (dq <= max_dist) & (dr <= max_dist) & (dd <= max_gap_diff))

@@ -47,7 +47,21 @@ _SO_PATH = os.path.join(_BUILD_DIR, f'libpavnative-{_host_tag()}.so')
 
 
 def _build():
-    os.makedirs(_BUILD_DIR, exist_ok=True)
+    global _SO_PATH
+    try:
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        probe = os.path.join(_BUILD_DIR, '.write_probe')
+        with open(probe, 'w'):
+            pass
+        os.unlink(probe)
+    except OSError:
+        # Installed into a read-only prefix (pip install): build into a
+        # per-user cache instead.
+        cache = os.path.join(os.path.expanduser('~'), '.cache', 'pav_tpu')
+        os.makedirs(cache, exist_ok=True)
+        _SO_PATH = os.path.join(cache, os.path.basename(_SO_PATH))
+        if os.path.exists(_SO_PATH):
+            return
     cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', *_SRCS, '-o', _SO_PATH]
     subprocess.run(cmd, check=True, capture_output=True)
 

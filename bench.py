@@ -459,8 +459,8 @@ def main():
     # (observed 49.6s -> 23.7s -> 12.8s -> ... converging to ~6s). Keep
     # iterating while the best time still improves meaningfully and budget
     # allows; stop once converged.
-    n_iters = int(os.environ.get('PAV_BENCH_ITERS', 3))
-    max_iters = int(os.environ.get('PAV_BENCH_MAX_ITERS', 10))
+    n_iters = int(os.environ.get('PAV_BENCH_ITERS', 4))
+    max_iters = int(os.environ.get('PAV_BENCH_MAX_ITERS', 12))
     best = None
     prev_best = None
     for it in range(max_iters):
@@ -469,8 +469,8 @@ def main():
                              f'({budget_left():.0f}s of budget left)\n')
             break
         if (it >= n_iters and prev_best is not None
-                and best[0] > prev_best * 0.92):
-            break   # converged: <8% improvement over the previous best
+                and best[0] > prev_best * 0.95):
+            break   # converged: <5% improvement over the previous best
         affine_dp.stats_reset()
         align_stats_reset()
         chain_mod.chain_stats_reset()

@@ -67,14 +67,55 @@ def test_bench_genome_recall():
     calls = calls_to_df(result['merged'])
 
     rep = ev.concordance(truth, calls).set_index('SVTYPE')
-    # SNV recall and precision essentially complete.
-    assert rep.loc['SNV', 'RECALL'] >= 0.98, rep
-    assert rep.loc['SNV', 'PRECISION'] >= 0.95, rep
-    # Indel/SV recall high (left-shift offsets and clustered events tolerated).
-    assert rep.loc['INS', 'RECALL'] >= 0.92, rep
-    assert rep.loc['DEL', 'RECALL'] >= 0.92, rep
-    assert rep.loc['INS', 'PRECISION'] >= 0.85, rep
-    assert rep.loc['DEL', 'PRECISION'] >= 0.85, rep
+    # Floors tightened in round 4 (measured 1.00 across every class at this
+    # scale; VERDICT r3 weak #8 asked for >= 0.95/0.92 on INS/DEL).
+    assert rep.loc['SNV', 'RECALL'] >= 0.99, rep
+    assert rep.loc['SNV', 'PRECISION'] >= 0.99, rep
+    assert rep.loc['INS', 'RECALL'] >= 0.97, rep
+    assert rep.loc['DEL', 'RECALL'] >= 0.97, rep
+    assert rep.loc['INS', 'PRECISION'] >= 0.95, rep
+    assert rep.loc['DEL', 'PRECISION'] >= 0.95, rep
     # The planted multi-kb inversion is recovered.
     assert rep.loc['INV', 'N_TRUTH'] >= 1
     assert rep.loc['INV', 'RECALL'] == 1.0, rep
+
+
+@pytest.mark.slow
+def test_strict_parity_vs_default_callset_concordance():
+    """Callset-level differential: the same diploid through default vs
+    strict_parity (replicating the reference's quirks/bugs: left-shift off in
+    the lgsv caller, inv-flag window bugs) must produce near-identical merged
+    callsets — the deviations are documented per-variant behaviors, not
+    wholesale callset drift (VERDICT r3 weak #8)."""
+    import bench
+
+    ref, h1, h2, t1, t2 = bench.build_genome(1_000_000, 57)
+    results = {}
+    for mode in (False, True):
+        pipeline = Pipeline(
+            SeqStore({'chr1': ref}),
+            {'aligner_min_chain_score': 1000, 'strict_parity': mode},
+            log=open(os.devnull, 'w'))
+        results[mode] = pipeline.run_sample(
+            'r', {'h1': SeqStore({'c1': h1}), 'h2': SeqStore({'c2': h2})},
+            write_vcf=False)
+
+    calls_def = calls_to_df(results[False]['merged'])
+    calls_par = calls_to_df(results[True]['merged'])
+
+    # Per-class concordance of the two callsets (positions may shift by
+    # left-shift differences; ev.concordance's matcher tolerates offsets for
+    # indels and requires exact POS/ALT for SNVs).
+    rep = ev.concordance(calls_def, calls_par).set_index('SVTYPE')
+    for svtype in ('SNV', 'INS', 'DEL'):
+        assert rep.loc[svtype, 'RECALL'] >= 0.98, rep
+        assert rep.loc[svtype, 'PRECISION'] >= 0.98, rep
+
+    # Both modes must also stay concordant with the planted truth.
+    truth = truth_to_df(t1 + t2).drop_duplicates(
+        subset=['POS', 'SVTYPE', 'SVLEN', 'ALT'])
+    for mode, calls in ((False, calls_def), (True, calls_par)):
+        rep = ev.concordance(truth, calls).set_index('SVTYPE')
+        assert rep.loc['SNV', 'RECALL'] >= 0.99, (mode, rep)
+        assert rep.loc['INS', 'RECALL'] >= 0.95, (mode, rep)
+        assert rep.loc['DEL', 'RECALL'] >= 0.95, (mode, rep)

@@ -423,7 +423,11 @@ def main():
     # guest memory lazily; first-touch page faults can run at ~10 MB/s, which
     # would otherwise dominate the timed section. retain_heap keeps the
     # faulted pages in the process heap so every later allocation reuses them.
-    warm_bytes = int(float(os.environ.get('PAV_BENCH_PREFAULT_GB', 3)) * 1e9)
+    # Working set grows ~0.7 GB per 16 Mbp of reference (measured 11.3 GB at
+    # 100 Mbp); prefault scales with the bench genome unless overridden.
+    default_gb = max(3.0, 0.12 * REF_MBP)
+    warm_bytes = int(float(os.environ.get('PAV_BENCH_PREFAULT_GB',
+                                          default_gb)) * 1e9)
     retain_heap(warm_bytes)
 
     from pav_tpu.runtime import mark_progress
@@ -522,12 +526,17 @@ def main():
     # optional enrichment and must never cost the round its number
     # (round 3 lost its result to a timeout in the repeat phase).
     value = contig_mbp / elapsed
+    import resource
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    sys.stderr.write(f'[bench] peak RSS {peak_rss_gb:.2f} GB at '
+                     f'{REF_MBP:.0f} Mbp reference\n')
     out = {
         'metric': 'contig_mbp_aligned_called_per_s',
         'value': round(value, 4),
         'unit': 'Mbp/s',
         'vs_baseline': round(value / BASELINE_MBP_S, 3),
         'mfu': round(mfu, 4),
+        'peak_rss_gb': round(peak_rss_gb, 2),
     }
     print(json.dumps(out), flush=True)
 

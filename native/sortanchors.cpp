@@ -2,8 +2,10 @@
 // direct emission of the permuted anchor arrays — replaces an argsort plus
 // four fancy-index gathers over tens of millions of anchors per contig.
 //
-// Key layout (63 bits): group[7] | rpos[28] | qpos[28]. Returns -1 when any
-// field exceeds its range (caller falls back to the numpy sort).
+// Key layout (<= 64 bits): group | rpos | qpos with bit widths sized to the
+// actual maxima (a 3 Gbp chromosome needs 32 rpos bits; 24 chroms x 2
+// strands need 6 group bits — both fit). Returns -1 only when the combined
+// widths exceed 64 bits (caller falls back to the numpy sort).
 //
 // The key encodes every emitted field, so the sort moves ONLY the 8-byte
 // keys (no index permutation) and the outputs are decoded sequentially from
@@ -15,13 +17,20 @@
 #include <cstring>
 #include <vector>
 
+namespace {
+inline int bits_for(int64_t maxval) {
+    int b = 1;
+    while ((1ll << b) <= maxval) ++b;
+    return b;
+}
+}  // namespace
+
 extern "C" {
 
 int64_t sort_anchors(const int64_t* qpos, const int64_t* rpos,
                      const int32_t* chrom, const uint8_t* rev, int64_t n,
                      int64_t* out_qpos, int64_t* out_rpos, int64_t* out_group,
                      int32_t* out_chrom, uint8_t* out_rev) {
-    constexpr int64_t kMax28 = (1ll << 28) - 1;
     // Reused across calls: fresh large vectors fault pages at VM-restore
     // speed on this class of host. Guarded by the caller (one call per
     // planning thread; glibc arenas are shared but vectors are per-thread).
@@ -31,15 +40,25 @@ int64_t sort_anchors(const int64_t* qpos, const int64_t* rpos,
     uint64_t* key = key_buf.data();
     uint64_t* key2 = key2_buf.data();
 
+    int64_t max_q = 0, max_r = 0, max_g = 1;
+    for (int64_t i = 0; i < n; ++i) {
+        if (qpos[i] < 0 || rpos[i] < 0 || chrom[i] < 0) return -1;
+        if (qpos[i] > max_q) max_q = qpos[i];
+        if (rpos[i] > max_r) max_r = rpos[i];
+        const int64_t g = static_cast<int64_t>(chrom[i]) * 2 + 1;
+        if (g > max_g) max_g = g;
+    }
+    const int bq = bits_for(max_q), br = bits_for(max_r), bg = bits_for(max_g);
+    if (bq + br + bg > 64) return -1;
+    const int sh_r = bq, sh_g = bq + br;
+    const uint64_t mask_q = (bq >= 64) ? ~0ULL : ((1ULL << bq) - 1);
+    const uint64_t mask_r = (1ULL << br) - 1;
+
     uint64_t all_or = 0, all_and = ~0ULL;
     for (int64_t i = 0; i < n; ++i) {
-        const int64_t g = static_cast<int64_t>(chrom[i]) * 2 + (rev[i] ? 1 : 0);
-        if (g >= 128 || qpos[i] > kMax28 || rpos[i] > kMax28 ||
-            qpos[i] < 0 || rpos[i] < 0) {
-            return -1;
-        }
-        const uint64_t k = (static_cast<uint64_t>(g) << 56)
-                           | (static_cast<uint64_t>(rpos[i]) << 28)
+        const uint64_t g = static_cast<uint64_t>(chrom[i]) * 2 + (rev[i] ? 1 : 0);
+        const uint64_t k = (g << sh_g)
+                           | (static_cast<uint64_t>(rpos[i]) << sh_r)
                            | static_cast<uint64_t>(qpos[i]);
         key[i] = k;
         all_or |= k;
@@ -64,9 +83,9 @@ int64_t sort_anchors(const int64_t* qpos, const int64_t* rpos,
 
     for (int64_t i = 0; i < n; ++i) {
         const uint64_t k = key[i];
-        const int64_t g = static_cast<int64_t>(k >> 56);
-        out_qpos[i] = static_cast<int64_t>(k & kMax28);
-        out_rpos[i] = static_cast<int64_t>((k >> 28) & kMax28);
+        const int64_t g = static_cast<int64_t>(k >> sh_g);
+        out_qpos[i] = static_cast<int64_t>(k & mask_q);
+        out_rpos[i] = static_cast<int64_t>((k >> sh_r) & mask_r);
         out_group[i] = g;
         out_chrom[i] = static_cast<int32_t>(g >> 1);
         out_rev[i] = static_cast<uint8_t>(g & 1);

@@ -37,6 +37,10 @@ NEG = jnp.int32(-(1 << 29))
 # how many round trips the engine makes on latency-bound links.
 STATS = {'launches': 0, 'items': 0, 'h2d_bytes': 0, 'd2h_bytes': 0,
          'resolve_s': 0.0, 'dispatch_s': 0.0, 'prefetch_s': 0.0,
+         # Mesh accounting (multi-chip scaling evidence): number of
+         # device_puts that were sharded over a mesh, mesh size, and the
+         # per-device batch rows of the most recent sharded put.
+         'sharded_puts': 0, 'mesh_devices': 0, 'shard_rows': (),
          # (max_m, max_n, width, B_pad) ->
          #   [launches, resolve_s, items, cells_pad, cells_real]
          # cells_pad  = B_pad*max_m*width per launch (what the program scans)
@@ -46,7 +50,8 @@ STATS = {'launches': 0, 'items': 0, 'h2d_bytes': 0, 'd2h_bytes': 0,
 
 def stats_reset():
     for k in STATS:
-        STATS[k] = {} if k == 'classes' else (0.0 if k.endswith('_s') else 0)
+        STATS[k] = ({} if k == 'classes' else () if k == 'shard_rows'
+                    else (0.0 if k.endswith('_s') else 0))
 
 DEFAULT_SCORING = {
     'match': 1, 'mismatch': -5,
@@ -518,7 +523,12 @@ class BandedAligner:
     def _put(self, arr):
         a = jnp.asarray(arr)
         if self._shard is not None and arr.shape[0] % self.mesh.size == 0:
-            return jax.device_put(a, self._shard)
+            out = jax.device_put(a, self._shard)
+            STATS['sharded_puts'] += 1
+            STATS['mesh_devices'] = self.mesh.size
+            STATS['shard_rows'] = tuple(
+                s.data.shape[0] for s in out.addressable_shards)
+            return out
         return a
 
     def align_batch(self, pairs, width, pad_to=None):

@@ -68,6 +68,62 @@ def _chain_scan(qpos, rpos, group, lookback, k, max_dist, max_gap_diff, gap_scal
     return f, parent
 
 
+@functools.partial(jax.jit, static_argnames=('lookback', 'k'))
+def _chain_scan_batch(qpos, rpos, group, lookback, k, max_dist, max_gap_diff,
+                      gap_scale):
+    """vmapped _chain_scan over a [B, n] slab batch. Slabs are independent
+    chain subproblems (split at group changes / rpos gaps — see
+    align.aligner.chain.find_chains), so a batch sharded along B over a
+    device mesh partitions with no collectives: the multi-chip variant of
+    chain scoring (the host-native kernel remains the single-host path)."""
+    fn = functools.partial(_chain_scan, lookback=lookback, k=k,
+                           max_dist=max_dist, max_gap_diff=max_gap_diff,
+                           gap_scale=gap_scale)
+    return jax.vmap(fn)(qpos, rpos, group)
+
+
+def chain_scores_batch(slabs, k, lookback=64, max_dist=50000,
+                       max_gap_diff=10000, gap_scale=None, mesh=None):
+    """Chain DP over a list of (qpos, rpos, group) slabs in one device call.
+
+    :param slabs: list of (qpos, rpos, group) array triples.
+    :param mesh: optional jax.sharding.Mesh; the slab batch shards along its
+        leading axis (pav_tpu.parallel.mesh data parallelism).
+    :return: list of (scores float32, parents int64) per slab, parents local
+        to the slab (-1 = chain start), identical to per-slab chain_scores.
+    """
+    if gap_scale is None:
+        gap_scale = 0.01 * k
+    if not slabs:
+        return []
+    lens = [len(s[0]) for s in slabs]
+    n_pad = 1
+    while n_pad < max(lens):
+        n_pad <<= 1
+    B = len(slabs)
+    qp = np.zeros((B, n_pad), dtype=np.int32)
+    rp = np.zeros((B, n_pad), dtype=np.int32)
+    gp = np.full((B, n_pad), -9, dtype=np.int32)
+    for i, (q, r, g) in enumerate(slabs):
+        qp[i, :lens[i]] = q
+        rp[i, :lens[i]] = r
+        gp[i, :lens[i]] = g
+
+    if mesh is not None and B % mesh.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        put = lambda a: jax.device_put(jnp.asarray(a), shard)
+    else:
+        put = jnp.asarray
+    f, parent = _chain_scan_batch(
+        put(qp), put(rp), put(gp), int(lookback), int(k),
+        float(max_dist), float(max_gap_diff), float(gap_scale))
+    from ..runtime import fetch
+    f_np, p_np = fetch(f), fetch(parent)
+    return [(f_np[i, :lens[i]], p_np[i, :lens[i]].astype(np.int64))
+            for i in range(B)]
+
+
 def chain_scores(qpos, rpos, group, k, lookback=64, max_dist=50000,
                  max_gap_diff=10000, gap_scale=None):
     """Compute chain DP scores and parent pointers for sorted anchors.

@@ -85,6 +85,68 @@ def _density_state_kernel(state_mer, sigmas, n_pad, n_states):
     return state, dens
 
 
+@functools.partial(jax.jit, static_argnames=('n_pad', 'n_states'))
+def _density_state_kernel_batch(state_mers, sigmas, n_pad, n_states):
+    """Batched variant of _density_state_kernel: state_mers int8 [B, n_pad],
+    sigmas float32 [B, n_states]. Every op is batch-elementwise, so a batch
+    sharded along B over a device mesh partitions with no collectives — this
+    is the multi-chip path for the density engine (SURVEY.md §2.8 TPU
+    mapping: INV batch fan-out -> data-parallel region shards)."""
+    x = jnp.arange(-n_pad, n_pad + 1, dtype=jnp.float32)
+    sg = jnp.maximum(sigmas[:, :, None], 1e-30)                  # [B, S, 1]
+    kernels = jnp.where(
+        sigmas[:, :, None] > 0,
+        jnp.exp(-0.5 * (x[None, None, :] / sg) ** 2)
+        / (sg * np.float32(np.sqrt(2 * np.pi))),
+        jnp.float32(0))                                           # [B, S, 2n+1]
+    hist = jnp.stack([
+        (state_mers == s).astype(jnp.float32) for s in range(n_states)
+    ], axis=1)                                                    # [B, S, n]
+    fft_len = 4 * n_pad
+    H = jnp.fft.rfft(hist, n=fft_len, axis=2)
+    K = jnp.fft.rfft(kernels, n=fft_len, axis=2)
+    full = jnp.fft.irfft(H * K, n=fft_len, axis=2)
+    dens = full[:, :, n_pad:2 * n_pad]
+    dens = jnp.where(dens > 1.0, 1.0 / jnp.maximum(dens, 1e-30), dens)
+    state = jnp.argmax(dens, axis=1).astype(jnp.int8)             # [B, n]
+    return state, dens
+
+
+def smoothed_states_batch(state_mers, sigmas_list, n_states=3, mesh=None):
+    """Batch of independent density-smoothing problems in ONE device program.
+
+    Regions pad to a common pow2 grid; with a mesh the batch shards along its
+    leading axis (pav_tpu.parallel.mesh) and XLA partitions the FFTs across
+    devices with no collectives.
+
+    :param state_mers: list of int arrays (state labels per position).
+    :param sigmas_list: list of per-state sigma arrays.
+    :return: list of int8 state arrays, one per input, unpadded.
+    """
+    if not state_mers:
+        return []
+    lens = [len(s) for s in state_mers]
+    n_pad = _next_pow2(max(max(lens), 16))
+    B = len(state_mers)
+    batch = np.full((B, n_pad), -1, dtype=np.int8)
+    for i, s in enumerate(state_mers):
+        batch[i, :lens[i]] = np.asarray(s, dtype=np.int8)
+    sig = np.asarray(sigmas_list, dtype=np.float32).reshape(B, n_states)
+
+    if mesh is not None and B % mesh.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        batch_d = jax.device_put(jnp.asarray(batch), shard)
+        sig_d = jax.device_put(jnp.asarray(sig), shard)
+    else:
+        batch_d, sig_d = jnp.asarray(batch), jnp.asarray(sig)
+
+    state, _dens = _density_state_kernel_batch(batch_d, sig_d, n_pad, n_states)
+    from ..runtime import fetch
+    state_np = fetch(state)
+    return [state_np[i, :lens[i]] for i in range(B)]
+
+
 def _host_density_states(state_mer, sigmas, n_states):
     """Host numpy mirror of the device kernel for small grids: float64 FFT
     (closer to the scipy reference), float32 clamp + argmax to match the

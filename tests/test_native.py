@@ -197,10 +197,21 @@ def test_sort_anchors_parity():
     assert np.array_equal(sc, chrom[order])
     assert np.array_equal(sv, rev[order].astype(bool))
 
-    # Out-of-range positions must fall back (return None).
-    big = qpos.copy()
-    big[0] = 1 << 29
-    assert native.sort_anchors(big, rpos, chrom, rev) is None
+    # Chromosome-scale coordinates (beyond the old 2^28 packing) sort
+    # natively now: bit widths adapt to the actual maxima.
+    big_q = rng.integers(0, 1 << 28, n)
+    big_r = rng.integers(0, 3_000_000_000, n)      # 3 Gbp scaffold
+    res = native.sort_anchors(big_q, big_r, chrom, rev)
+    assert res is not None
+    bq, br_, bg, bc, bv = res
+    order = np.lexsort((big_q, big_r, group))
+    assert np.array_equal(bq, big_q[order])
+    assert np.array_equal(br_, big_r[order])
+
+    # Combined widths beyond 64 bits must fall back (return None).
+    huge = big_q.copy()
+    huge[0] = 1 << 40
+    assert native.sort_anchors(huge, big_r, chrom, rev) is None
 
 
 @pytest.mark.parametrize('seed', [3, 11])

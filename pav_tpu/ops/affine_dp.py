@@ -390,13 +390,39 @@ def _slice_rows(arr, rows):
     return arr[:rows]
 
 
+_PALLAS_DISABLED = False   # set after a Mosaic compile failure (auto-fallback)
+
+
 def _pallas_backend_kind():
-    """Select the DP backend for full-width classes: 'pallas' (compiled),
-    'pallas-interp' (CPU interpreter, tests), or 'xla'. Opt-in via
-    PAV_TPU_PALLAS=1."""
-    if os.environ.get('PAV_TPU_PALLAS') != '1':
+    """Select the DP backend for full-width classes: 'pallas' (compiled,
+    DEFAULT on accelerators — hardware-validated bit-identical to the XLA
+    kernel and faster per launch), 'pallas-interp' (CPU interpreter, tests),
+    or 'xla'. PAV_TPU_PALLAS=0 opts out; =1 forces it on CPU (interpreter).
+    A Mosaic compile failure on an untested target disables pallas for the
+    process and the launch retries on the XLA kernel."""
+    env = os.environ.get('PAV_TPU_PALLAS')
+    if _PALLAS_DISABLED or env == '0':
         return 'xla'
-    return 'pallas-interp' if jax.default_backend() == 'cpu' else 'pallas'
+    if jax.default_backend() == 'cpu':
+        return 'pallas-interp' if env == '1' else 'xla'
+    return 'pallas'
+
+
+def _launch_with_fallback(fn, *args, backend_kind):
+    """Dispatch a DP program; if the pallas path fails to compile (Mosaic
+    lowering is target-sensitive), permanently fall back to the XLA kernel
+    for this process and relaunch."""
+    global _PALLAS_DISABLED
+    try:
+        return fn(*args, backend_kind=backend_kind)
+    except Exception:
+        if backend_kind != 'pallas':
+            raise
+        _PALLAS_DISABLED = True
+        import sys
+        sys.stderr.write('[pav_tpu] pallas DP kernel failed to compile on '
+                         'this target; falling back to the XLA kernel\n')
+        return fn(*args, backend_kind='xla')
 
 
 def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
@@ -405,8 +431,10 @@ def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1,
     device: [B, L] uint8 (L = 2*max_m + max_n bound), reversed order, plus a
     band-exit error flag per element. The [B, max_m, width] traceback tensor
     never crosses the host boundary (critical on bandwidth-limited links)."""
-    if backend_kind.startswith('pallas') and width == r.shape[1] + 1:
-        from . import pallas_dp
+    from . import pallas_dp
+    if (backend_kind.startswith('pallas') and width == r.shape[1] + 1
+            and (backend_kind == 'pallas-interp'
+                 or pallas_dp.feasible_block(q.shape[0], max_m, width))):
         tb, offs = pallas_dp.pallas_align_full(
             q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
             interpret=backend_kind == 'pallas-interp')
@@ -590,7 +618,8 @@ class BandedAligner:
         if jax.default_backend() != 'cpu':
             qp, qa = _pack_codes(qpad)
             rp, ra = _pack_codes(rpad)
-            fused = _align_and_trace_packed(
+            fused = _launch_with_fallback(
+                _align_and_trace_packed,
                 self._put(qp), self._put(qa), self._put(rp), self._put(ra),
                 self._put(m_p), self._put(n_p),
                 max_m, max_n, int(width),
@@ -599,7 +628,8 @@ class BandedAligner:
                 int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
                 backend_kind=_pallas_backend_kind())
         else:
-            fused = _align_and_trace(
+            fused = _launch_with_fallback(
+                _align_and_trace,
                 self._put(qpad), self._put(rpad),
                 self._put(m_p), self._put(n_p),
                 max_m, int(width),
@@ -648,7 +678,8 @@ class BandedAligner:
 
         import time as _time
         _t0 = _time.time()
-        fused = _align_and_trace_resident(
+        fused = _launch_with_fallback(
+            _align_and_trace_resident,
             resident, self._put(arr),
             max_m, max_n, int(width),
             int(sc['match']), int(sc['mismatch']),

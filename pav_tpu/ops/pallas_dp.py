@@ -11,10 +11,17 @@ Semantics are identical to ops.affine_dp._align_batch for offset-0 problems:
 same traceback byte layout, same F prefix-max formulation (log2(width)
 doubling of static shifts).
 
-Enable with PAV_TPU_PALLAS=1. Opt-in status: bit-identical to the XLA kernel
-in interpreter-mode tests (tests/test_pallas_dp.py); the image's tunneled
-remote-compile service currently 500s on Mosaic lowering without surfacing
-diagnostics, so on-hardware validation is deferred (docs/ROADMAP.md).
+Status (round 4): DEFAULT on accelerator backends. Hardware-validated on a
+TPU v5e: bit-identical CIGARs to the XLA kernel across every bench DP class
+(0 mismatches over 4096-item batches) and faster per launch (0.148s vs
+0.164s on the 64x64 B=4096 class; 0.063s vs 0.150s on 2048x2048w2049).
+Mosaic lowering required: q as int32 (i8 vector relayouts don't legalize),
+int32 multiply-packing of the traceback byte (no vector shli), 2-D [B,1]
+m/n operands (1-D s32 tiling mismatch), and a batch grid with BB in
+{512,256,128} (VMEM). Classes whose tiles cannot fit VMEM fall back to the
+XLA kernel (feasible_block), as does any target where lowering fails
+(affine_dp._launch_with_fallback). PAV_TPU_PALLAS=0 opts out; =1 forces the
+CPU interpreter path (tests).
 """
 
 import functools
@@ -25,6 +32,29 @@ from jax.experimental import pallas as pl
 
 NEG = -(1 << 29)  # plain int: pallas kernels cannot capture array constants
 
+# VMEM budget for one grid step's tiles: the [max_m, BB, width] u8 traceback
+# block plus ~14 [BB, width] i32 state/temp tiles (measured headroom under
+# the 16 MB v5e VMEM).
+_VMEM_BUDGET = 10 << 20
+
+
+def feasible_block(B, max_m, width):
+    """Largest legal batch block BB for the grid, or None when no block fits
+    VMEM. Mosaic requires non-final blocks' last dims divisible by (8, 128) —
+    BB rides in a last-dim position for the q operand — so BB is either B
+    itself or a multiple of 128."""
+    def fits(bb):
+        return bb * width * (max_m + 14 * 4) <= _VMEM_BUDGET
+
+    if fits(B):
+        return B
+    # 512 cap: BB=1024 blocks overflow VMEM in practice even when the
+    # estimate fits (Mosaic's double-buffered pipeline doubles input tiles).
+    for bb in (512, 256, 128):
+        if bb < B and B % bb == 0 and fits(bb):
+            return bb
+    return None
+
 
 def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
                *, max_m, width, match, mismatch, o1, o2, e1, e2):
@@ -32,7 +62,7 @@ def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
     # untiled dimension; 2D refs tile both dims), r [B, max_n],
     # tb out [max_m, B, width].
     B = r_ref.shape[0]
-    ni = n_ref[:].reshape(B, 1)                       # [B, 1]
+    ni = n_ref[:].reshape(B, 1)                       # [B, 1] (passed 2-D)
     mi = m_ref[:].reshape(B, 1)
     j = jax.lax.broadcasted_iota(jnp.int32, (B, width), 1)
 
@@ -69,8 +99,9 @@ def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
         e_best = jnp.maximum(e1_new, e2_new)
         bit_e_piece2 = e2_new > e1_new
 
-        qb = q_ref[i - 1, 0, :].reshape(B, 1)         # [B, 1] int8
-        subst = jnp.where((qb == rb) & (qb < 4) & (rb < 4), match, mismatch)
+        qb = q_ref[i - 1, 0, :].reshape(B, 1)         # [B, 1] int32
+        rb32 = rb.astype(jnp.int32)
+        subst = jnp.where((qb == rb32) & (qb < 4) & (rb32 < 4), match, mismatch)
         diag = shift_right(h_prev, 1) + subst
         diag = jnp.where(j >= 1, diag, NEG)
 
@@ -101,15 +132,17 @@ def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
         e1_new = jnp.where(valid, e1_new, NEG)
         e2_new = jnp.where(valid, e2_new, NEG)
 
-        tb = (bit_ht_e.astype(jnp.uint8)
-              | (bit_h_f.astype(jnp.uint8) << 1)
-              | (bit_e_piece2.astype(jnp.uint8) << 2)
-              | (bit_f_piece2.astype(jnp.uint8) << 3)
-              | (bit_e1_ext.astype(jnp.uint8) << 4)
-              | (bit_e2_ext.astype(jnp.uint8) << 5)
-              | (bit_f1_open.astype(jnp.uint8) << 6)
-              | (bit_f2_open.astype(jnp.uint8) << 7))
-        tb_ref[i - 1, :, :] = tb
+        # Pack in int32 with constant multiplies: Mosaic cannot legalize
+        # vector shifts (arith.shli) or 8-bit lane ops on this target.
+        tb32 = (bit_ht_e.astype(jnp.int32)
+                + bit_h_f.astype(jnp.int32) * 2
+                + bit_e_piece2.astype(jnp.int32) * 4
+                + bit_f_piece2.astype(jnp.int32) * 8
+                + bit_e1_ext.astype(jnp.int32) * 16
+                + bit_e2_ext.astype(jnp.int32) * 32
+                + bit_f1_open.astype(jnp.int32) * 64
+                + bit_f2_open.astype(jnp.int32) * 128)
+        tb_ref[i - 1, :, :] = tb32.astype(jnp.uint8)
 
         return (h_new, e1_new, e2_new)
 
@@ -126,15 +159,35 @@ def pallas_align_full(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
         drop-in for _align_batch's outputs on offset-0 problems.
     """
     B = q.shape[0]
+    max_n = r.shape[1]
     kernel = functools.partial(
         _dp_kernel, max_m=max_m, width=width, match=match, mismatch=mismatch,
         o1=o1, o2=o2, e1=e1, e2=e2)
 
+    BB = B if interpret else feasible_block(B, max_m, width)
+    if BB is None:
+        raise ValueError(f'no feasible pallas block for B={B} m={max_m} '
+                         f'w={width}; caller must gate on feasible_block')
+    grid = (B // BB,)
+
     tb = pl.pallas_call(
         kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((max_m, 1, BB), lambda b: (0, 0, b)),
+            pl.BlockSpec((BB, max_n), lambda b: (b, 0)),
+            # m/n ride 2-D [B, 1]: 1-D s32 operands hit an XLA-vs-Mosaic
+            # tiling mismatch (T(1024) vs block-sized T) when gridded.
+            pl.BlockSpec((BB, 1), lambda b: (b, 0)),
+            pl.BlockSpec((BB, 1), lambda b: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((max_m, BB, width), lambda b: (0, b, 0)),
         out_shape=jax.ShapeDtypeStruct((max_m, B, width), jnp.uint8),
         interpret=interpret,
-    )(q.T.reshape(q.shape[1], 1, B), r, m, n)
+        # q rides as int32: Mosaic cannot lower the per-row [1,1,B]->[B,1]
+        # i8 vector relayout, and q is tiny next to the traceback output.
+    )(q.T.reshape(q.shape[1], 1, B).astype(jnp.int32), r,
+      m.reshape(B, 1), n.reshape(B, 1))
 
     offs = jnp.zeros((B, max_m), dtype=jnp.int32)
     return jnp.transpose(tb, (1, 0, 2)), offs

@@ -99,12 +99,14 @@ def _bucket_pow2(x, lo=32, hi=1 << 15):
     return v
 
 
-# Coarse size ladder for accelerator backends. Every (m, n, width) class is
-# one compiled program; on tunneled TPU backends a compile costs seconds to
-# minutes (server-side, not persistently cacheable), so the ladder trades
-# padded device compute — nearly free at these sizes — for an order of
-# magnitude fewer programs (~10 vs ~56 fine-grained pow2 classes).
-_ACCEL_LADDER = (64, 256, 512, 2048, 8192, 32768)
+# Size ladder for accelerator backends. Every (m, n, width) class is one
+# compiled program; compiles are expensive on tunneled backends but cached
+# persistently per machine (runtime.enable_compile_cache), so the ladder can
+# afford pow2 granularity at the small end where nearly all segments live
+# (measured on the bench genome: 99.7% of DP segments have min-side <= 16,
+# and a 64-coarse ladder left per-class useful-cell fractions at 0.4-7.6%).
+# Coarser steps above 2048 bound the class count for the rare huge segments.
+_ACCEL_LADDER = (16, 32, 64, 128, 256, 512, 1024, 2048, 8192, 32768)
 
 
 def _bucket_ladder(x, ladder=_ACCEL_LADDER):
@@ -806,10 +808,13 @@ class Aligner:
 
         def batch_pad(batch, n_items):
             if fixed_batch:
+                # pow2-down to >= 50% batch fill (floor 8): with the pow2
+                # size ladder, batch padding must not reintroduce the padded
+                # cells the finer classes removed. One program per
+                # (shape, pow2-batch) pair, persisted in the compile cache.
                 b = batch
-                for _ in range(2):
-                    if b >= 4 * max(n_items, 2) and b > 8:
-                        b //= 4
+                while b >= 2 * max(n_items, 4) and b > 8:
+                    b //= 2
                 return max(b, 8)
             b_pad = 8
             while b_pad < n_items:

@@ -24,6 +24,7 @@ Traceback byte layout (bit set ⇒):
 
 import functools
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -408,21 +409,35 @@ def _pallas_backend_kind():
     return 'pallas'
 
 
+_PALLAS_RETRY_LOCK = threading.Lock()
+
+
 def _launch_with_fallback(fn, *args, backend_kind):
-    """Dispatch a DP program; if the pallas path fails to compile (Mosaic
-    lowering is target-sensitive), permanently fall back to the XLA kernel
-    for this process and relaunch."""
+    """Dispatch a DP program; if the pallas path fails to compile, retry it
+    once serially (the tunneled compile helper 500s under CONCURRENT Mosaic
+    requests — e.g. the 4-thread priming pool — while the same shapes
+    compile fine alone), then permanently fall back to the XLA kernel for
+    this process."""
     global _PALLAS_DISABLED
     try:
         return fn(*args, backend_kind=backend_kind)
     except Exception:
         if backend_kind != 'pallas':
             raise
-        _PALLAS_DISABLED = True
-        import sys
-        sys.stderr.write('[pav_tpu] pallas DP kernel failed to compile on '
-                         'this target; falling back to the XLA kernel\n')
-        return fn(*args, backend_kind='xla')
+    with _PALLAS_RETRY_LOCK:
+        if not _PALLAS_DISABLED:
+            try:
+                return fn(*args, backend_kind='pallas')
+            except Exception as ex:
+                _PALLAS_DISABLED = True
+                import sys
+                first = str(ex).strip().splitlines()[:1]
+                sys.stderr.write(
+                    '[pav_tpu] pallas DP kernel failed to compile on this '
+                    f'target ({type(ex).__name__}: '
+                    f'{first[0][:200] if first else ""}); '
+                    'falling back to the XLA kernel\n')
+    return fn(*args, backend_kind='xla')
 
 
 def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,

@@ -146,16 +146,21 @@ _DP_SHAPES_LARGE = [
 # (core._accel_bucket): ~one order of magnitude fewer compiled programs,
 # each compile being seconds-to-minutes on a tunneled remote-compile
 # backend. Ordered most-common-first so partial priming covers the bulk.
-_DP_SHAPES_ACCEL = [
-    # m <= n always: core transposes segments so rows = the shorter side
-    # (scan depth) and I/D swap back on the host. Everything <= 2048 columns
-    # runs full-width through the gather-free kernel; only balanced 8192
-    # classes (end extensions, refinement-resistant blocks) stay banded.
-    ((64, 64), 65), ((64, 256), 257), ((256, 256), 257),
-    ((64, 512), 513), ((256, 512), 513), ((512, 512), 513),
-    ((64, 2048), 2049), ((256, 2048), 2049), ((512, 2048), 2049),
-    ((2048, 2048), 2049),
-    ((64, 8192), 8193), ((256, 8192), 8193), ((512, 8192), 8193),
+# m <= n always: core transposes segments so rows = the shorter side (scan
+# depth) and I/D swap back on the host. Everything <= 2048 columns runs
+# full-width through the gather-free kernel; only large classes past the
+# full-width cell cap stay banded. The pow2 ladder (core._ACCEL_LADDER, r4)
+# makes the full enumeration below reachable; ordered smallest-area-first so
+# partial priming covers the classes that carry ~99.7% of bench segments
+# (min-side <= 16).
+_ACCEL_SMALL = (16, 32, 64, 128, 256, 512, 1024, 2048)
+_DP_SHAPES_ACCEL = sorted(
+    [((m_b, n_b), n_b + 1)
+     for m_b in _ACCEL_SMALL for n_b in _ACCEL_SMALL if n_b >= m_b],
+    key=lambda s: s[0][0] * s[0][1])
+_DP_SHAPES_ACCEL += [((m_b, 8192), 8193) for m_b in (16, 32, 64, 128, 256, 512)]
+_DP_SHAPES_ACCEL += [
+    ((1024, 8192), 2048),      # banded: past the full-width cell cap
     ((8192, 8192), 512),       # balanced mid-size, banded
     ((8192, 8192), 2048),      # end extensions (compiles at width 2049)
 ]
@@ -205,7 +210,10 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
             # Each shape runs at three batch sizes: the cap and the pow4-down
             # quantized variants part-full classes launch (core.batch_pad).
             cap = _shape_batch(m_b, width_b)
-            for b_pad in sorted({cap, max(cap // 4, 8), max(cap // 16, 8)}):
+            # Batch quantization is pow2-down (core.batch_pad); prime the cap
+            # and two common part-full variants. Unprimed fills compile once
+            # inline and persist in the cache.
+            for b_pad in sorted({cap, max(cap // 2, 8), max(cap // 8, 8)}):
                 dp.align_batch_refs_async(
                     items, width=width_b, pad_to=(m_b, n_b),
                     pad_batch=b_pad, resident=resident)()
@@ -223,10 +231,20 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
     if accel and len(launches) > 1:
         # Remote-compile backends overlap concurrent compiles server-side
         # (~3x observed); threads block in backend_compile with the GIL
-        # released.
+        # released. Priming is time-budgeted (PAV_TPU_PRIME_BUDGET_S): the
+        # shape list is ordered most-common-first, cached shapes load in
+        # milliseconds, and anything unprimed compiles once inline — so a
+        # cold cache costs the budget, not the full enumeration.
+        deadline = time.time() + float(
+            os.environ.get('PAV_TPU_PRIME_BUDGET_S', 420))
         from concurrent.futures import ThreadPoolExecutor
+
+        def prime_budgeted(launch):
+            if time.time() < deadline:
+                prime_one(launch)
+
         with ThreadPoolExecutor(max_workers=4) as pool:
-            list(pool.map(prime_one, launches))
+            list(pool.map(prime_budgeted, launches))
     else:
         handles = []
         for (m_b, n_b), width_b in launches:

@@ -175,13 +175,14 @@ def test_accel_bucket_ladder():
 
     # Small and unbalanced classes run at full width (exact DP, no retries).
     # Callers orient m <= n (transposed DP) before bucketing.
-    assert _accel_bucket(10, 10) == (64, 64, 65)
-    assert _accel_bucket(40, 100) == (64, 256, 257)
+    assert _accel_bucket(10, 10) == (16, 16, 17)
+    assert _accel_bucket(10, 100) == (16, 128, 129)
+    assert _accel_bucket(40, 100) == (64, 128, 129)
     assert _accel_bucket(300, 400) == (512, 512, 513)
-    assert _accel_bucket(100, 1900) == (256, 2048, 2049)
+    assert _accel_bucket(100, 1900) == (128, 2048, 2049)
     # <= 2048 columns is always full width (the gather-free kernel).
-    assert _accel_bucket(1000, 1010) == (2048, 2048, 2049)
-    assert _accel_bucket(600, 1900) == (2048, 2048, 2049)
+    assert _accel_bucket(1000, 1010) == (1024, 1024, 1025)
+    assert _accel_bucket(600, 1900) == (1024, 2048, 2049)
     # Balanced 8192 classes get a banded window when the segment hugs the
     # diagonal; the width value compiles at width+1 (pow2+1 rounding).
     assert _accel_bucket(5000, 5400) == (8192, 8192, 2048)

@@ -113,16 +113,15 @@ def get_lib():
                 _u64p, ctypes.c_int64, _u64p, _i64p, ctypes.c_int32]
             lib.index_build.restype = None
             lib.index_count.argtypes = [
-                _u64p, _i64p, ctypes.c_int32, _i64p, _u64p, ctypes.c_int64,
-                ctypes.c_int64, _i64p]
+                _u64p, _i64p, ctypes.c_int32, _i64p, _i64p, _u64p,
+                ctypes.c_int64, ctypes.c_int64, _i64p, _i64p]
             lib.index_count.restype = None
             lib.index_fill.argtypes = [
-                _u64p, _i64p, ctypes.c_int32, _i64p, _u64p, ctypes.c_int64,
-                _i64p, _i64p, _i64p, _i64p]
+                _i64p, ctypes.c_int64, _i64p, _i64p, _i64p, _i64p]
             lib.index_fill.restype = None
             _i8p = ctypes.POINTER(ctypes.c_int8)
             lib.index_fill_anchors.argtypes = [
-                _u64p, _i64p, ctypes.c_int32, _i64p, _u64p, _i64p, _i8p,
+                _i64p, _i64p, _i8p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, _i64p, _i64p,
                 ctypes.POINTER(ctypes.c_int32), _i64p, _i8p,
                 _i64p, _i64p, ctypes.POINTER(ctypes.c_int32),
@@ -259,11 +258,14 @@ class HashIndex:
         keys_p = self.keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
         vals_p = self.vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         qh_p = qh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        starts = np.empty(nq, dtype=np.int64)
         self._lib.index_count(
             keys_p, vals_p, ctypes.c_int32(self.log2),
             self.uniq_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.uniq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             qh_p, ctypes.c_int64(nq), ctypes.c_int64(int(max_occ)),
-            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         offsets = np.zeros(nq, dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:]) if nq > 1 else None
         total = int(counts.sum())
@@ -271,9 +273,8 @@ class HashIndex:
         flat = np.empty(total, dtype=np.int64)
         if total:
             self._lib.index_fill(
-                keys_p, vals_p, ctypes.c_int32(self.log2),
-                self.uniq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                qh_p, ctypes.c_int64(nq),
+                starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(nq),
                 counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 q_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -292,11 +293,14 @@ class HashIndex:
         keys_p = self.keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
         vals_p = self.vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         qh_p = qh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        starts = np.empty(nq, dtype=np.int64)
         self._lib.index_count(
             keys_p, vals_p, ctypes.c_int32(self.log2),
             self.uniq_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.uniq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             qh_p, ctypes.c_int64(nq), ctypes.c_int64(int(max_occ)),
-            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         offsets = np.zeros(nq, dtype=np.int64)
         if nq > 1:
             np.cumsum(counts[:-1], out=offsets[1:])
@@ -307,9 +311,7 @@ class HashIndex:
         rev = np.empty(total, dtype=np.uint8)
         if total:
             self._lib.index_fill_anchors(
-                keys_p, vals_p, ctypes.c_int32(self.log2),
-                self.uniq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                qh_p,
+                starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 qstrand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                 ctypes.c_int64(nq), ctypes.c_int64(int(qlen)),

@@ -196,7 +196,10 @@ int64_t chain_extract(const float* scores, const int64_t* parents, int64_t n,
                       const int64_t* cand, int64_t n_cand,
                       float min_chain_score, int64_t min_anchors,
                       int64_t* out_idx, int64_t* out_start, float* out_score) {
-    std::vector<uint8_t> used(static_cast<size_t>(n), 0);
+    // Reused across calls (see sort_anchors): fresh vectors fault pages at
+    // VM-restore speed on this host class.
+    static thread_local std::vector<uint8_t> used;
+    used.assign(static_cast<size_t>(n), 0);
     int64_t n_chains = 0;
     int64_t out_pos = 0;
     for (int64_t c = 0; c < n_cand; ++c) {
@@ -230,7 +233,8 @@ int64_t chain_select_extract(const float* scores, const int64_t* parents,
     // Pack (score desc, index asc) into a u64 key. Floats here are
     // non-negative (chain scores), so the sign-flip trick reduces to setting
     // the top bit; complementing yields descending order.
-    std::vector<uint64_t> keys;
+    static thread_local std::vector<uint64_t> keys;
+    keys.clear();
     keys.reserve(1024);
     for (int64_t i = 0; i < n; ++i) {
         if (scores[i] >= min_chain_score) {
@@ -242,9 +246,11 @@ int64_t chain_select_extract(const float* scores, const int64_t* parents,
         }
     }
     const int64_t n_cand = static_cast<int64_t>(keys.size());
-    // LSD radix, 4 x 16-bit digits.
-    std::vector<uint64_t> tmp(n_cand);
-    std::vector<int64_t> count(1 << 16);
+    // LSD radix, 4 x 16-bit digits. Buffers reused across calls.
+    static thread_local std::vector<uint64_t> tmp;
+    static thread_local std::vector<int64_t> count;
+    tmp.resize(n_cand);
+    count.resize(1 << 16);
     for (int pass = 0; pass < 4; ++pass) {
         const int shift = pass * 16;
         std::fill(count.begin(), count.end(), 0);
@@ -256,7 +262,8 @@ int64_t chain_select_extract(const float* scores, const int64_t* parents,
             tmp[count[(keys[i] >> shift) & 0xFFFF]++] = keys[i];
         keys.swap(tmp);
     }
-    std::vector<int64_t> cand(n_cand);
+    static thread_local std::vector<int64_t> cand;
+    cand.resize(n_cand);
     for (int64_t i = 0; i < n_cand; ++i)
         cand[i] = static_cast<int64_t>(keys[i] & 0xFFFFFFFF);
     return chain_extract(scores, parents, n, cand.data(), n_cand,

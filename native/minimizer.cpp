@@ -44,13 +44,17 @@ int64_t minimizer_sketch(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     std::vector<uint8_t> ring_strand(w);
     std::vector<int32_t> deque_idx(w + 1);
     int dq_head = 0, dq_tail = 0;  // [head, tail)
+    const int dq_cap = w + 1;
+    // Conditional wraps instead of modulo: %w / %(w+1) are div-unit ops and
+    // this loop runs once per base of a multi-Gbp genome.
+    auto wrap_inc = [dq_cap](int x) { ++x; return x == dq_cap ? 0 : x; };
+    auto wrap_dec = [dq_cap](int x) { return x == 0 ? dq_cap - 1 : x - 1; };
 
     uint64_t fwd = 0, rc = 0;
     int64_t valid_run = 0;  // consecutive unambiguous bases ending here
     int64_t count = 0;
     int64_t last_emitted_pos = -1;
-
-    auto ring_at = [&](int64_t kpos) -> int { return static_cast<int>(kpos % w); };
+    int slot = 0;           // ring slot of the current kpos (kpos % w)
 
     for (int64_t i = 0; i < n; ++i) {
         const uint8_t c = codes[i];
@@ -80,17 +84,16 @@ int64_t minimizer_sketch(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
         // slot being written is exactly the one whose entry leaves the window).
         while (dq_head != dq_tail
                && ring_pos[deque_idx[dq_head]] <= kpos - w) {
-            dq_head = (dq_head + 1) % (w + 1);
+            dq_head = wrap_inc(dq_head);
         }
 
-        const int slot = ring_at(kpos);
         ring_hash[slot] = h;
         ring_pos[slot] = kpos;
         ring_strand[slot] = strand;
         // Maintain monotonic increasing hash from front to back; keep ties so
         // every tying position can be emitted.
         while (dq_head != dq_tail) {
-            const int back = (dq_tail + w) % (w + 1);
+            const int back = wrap_dec(dq_tail);
             if (ring_hash[deque_idx[back]] > h) {
                 dq_tail = back;
             } else {
@@ -98,14 +101,16 @@ int64_t minimizer_sketch(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
             }
         }
         deque_idx[dq_tail] = slot;
-        dq_tail = (dq_tail + 1) % (w + 1);
+        dq_tail = wrap_inc(dq_tail);
+        ++slot;
+        if (slot == w) slot = 0;
 
         // Emit window minima once a full window exists.
         if (kpos >= w - 1) {
             // All deque entries from the front with the minimal hash.
             const uint64_t min_h = ring_hash[deque_idx[dq_head]];
             if (min_h != ~0ULL) {
-                for (int it = dq_head; it != dq_tail; it = (it + 1) % (w + 1)) {
+                for (int it = dq_head; it != dq_tail; it = wrap_inc(it)) {
                     const int s = deque_idx[it];
                     if (ring_hash[s] != min_h) break;
                     if (ring_pos[s] > last_emitted_pos) {

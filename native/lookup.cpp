@@ -84,12 +84,14 @@ void index_fill(const int64_t* starts, int64_t nq,
 // position, reference position, chromosome, and relative orientation — so the
 // host skips four 30M-element numpy passes per chromosome-scale contig.
 // Start rows come resolved from pass 1 (out_starts); no table probes here.
+// Outputs are int32 (contigs and chromosomes < 2 Gbp): halves the write
+// traffic of the largest transient arrays in planning.
 void index_fill_anchors(const int64_t* starts, const int64_t* qpos,
                         const int8_t* qstrand, int64_t nq, int64_t qlen,
                         int32_t k, const int64_t* counts,
                         const int64_t* offsets, const int32_t* idx_chrom,
                         const int64_t* idx_pos, const int8_t* idx_strand,
-                        int64_t* out_qpos, int64_t* out_rpos,
+                        int32_t* out_qpos, int32_t* out_rpos,
                         int32_t* out_chrom, uint8_t* out_rev) {
     constexpr int64_t kPD = 16;
     for (int64_t i = 0; i < nq; ++i) {
@@ -108,8 +110,8 @@ void index_fill_anchors(const int64_t* starts, const int64_t* qpos,
         for (int64_t j = 0; j < c; ++j) {
             const int64_t flat = start + j;
             const uint8_t rev = idx_strand[flat] != qs;
-            out_qpos[o + j] = rev ? qlen - qp - k : qp;
-            out_rpos[o + j] = idx_pos[flat];
+            out_qpos[o + j] = static_cast<int32_t>(rev ? qlen - qp - k : qp);
+            out_rpos[o + j] = static_cast<int32_t>(idx_pos[flat]);
             out_chrom[o + j] = idx_chrom[flat];
             out_rev[o + j] = rev;
         }

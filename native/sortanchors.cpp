@@ -25,12 +25,13 @@ inline int bits_for(int64_t maxval) {
 }
 }  // namespace
 
-extern "C" {
+namespace {
 
-int64_t sort_anchors(const int64_t* qpos, const int64_t* rpos,
-                     const int32_t* chrom, const uint8_t* rev, int64_t n,
-                     int64_t* out_qpos, int64_t* out_rpos, int64_t* out_group,
-                     int32_t* out_chrom, uint8_t* out_rev) {
+template <typename P, typename G>
+int64_t sort_anchors_impl(const P* qpos, const P* rpos,
+                          const int32_t* chrom, const uint8_t* rev, int64_t n,
+                          P* out_qpos, P* out_rpos, G* out_group,
+                          int32_t* out_chrom, uint8_t* out_rev) {
     // Reused across calls: fresh large vectors fault pages at VM-restore
     // speed on this class of host. Guarded by the caller (one call per
     // planning thread; glibc arenas are shared but vectors are per-thread).
@@ -66,7 +67,8 @@ int64_t sort_anchors(const int64_t* qpos, const int64_t* rpos,
     }
 
     // 4 passes of 16-bit digits (63-bit key); constant digits need no pass.
-    std::vector<int64_t> count(1 << 16);
+    static thread_local std::vector<int64_t> count;
+    count.resize(1 << 16);
     for (int pass = 0; pass < 4; ++pass) {
         const int shift = pass * 16;
         if (((all_or >> shift) & 0xFFFF) == ((all_and >> shift) & 0xFFFF))
@@ -84,13 +86,35 @@ int64_t sort_anchors(const int64_t* qpos, const int64_t* rpos,
     for (int64_t i = 0; i < n; ++i) {
         const uint64_t k = key[i];
         const int64_t g = static_cast<int64_t>(k >> sh_g);
-        out_qpos[i] = static_cast<int64_t>(k & mask_q);
-        out_rpos[i] = static_cast<int64_t>((k >> sh_r) & mask_r);
-        out_group[i] = g;
+        out_qpos[i] = static_cast<P>(k & mask_q);
+        out_rpos[i] = static_cast<P>((k >> sh_r) & mask_r);
+        out_group[i] = static_cast<G>(g);
         out_chrom[i] = static_cast<int32_t>(g >> 1);
         out_rev[i] = static_cast<uint8_t>(g & 1);
     }
     return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t sort_anchors(const int64_t* qpos, const int64_t* rpos,
+                     const int32_t* chrom, const uint8_t* rev, int64_t n,
+                     int64_t* out_qpos, int64_t* out_rpos, int64_t* out_group,
+                     int32_t* out_chrom, uint8_t* out_rev) {
+    return sort_anchors_impl(qpos, rpos, chrom, rev, n,
+                             out_qpos, out_rpos, out_group, out_chrom, out_rev);
+}
+
+// int32 variant: the anchor fast path (index_fill_anchors emits int32);
+// halves key-build read traffic and the output writes.
+int64_t sort_anchors32(const int32_t* qpos, const int32_t* rpos,
+                       const int32_t* chrom, const uint8_t* rev, int64_t n,
+                       int32_t* out_qpos, int32_t* out_rpos, int32_t* out_group,
+                       int32_t* out_chrom, uint8_t* out_rev) {
+    return sort_anchors_impl(qpos, rpos, chrom, rev, n,
+                             out_qpos, out_rpos, out_group, out_chrom, out_rev);
 }
 
 }  // extern "C"

@@ -167,6 +167,7 @@ class MinimizerIndex:
 
         self.uniq_hashes, self.uniq_starts, self.uniq_counts = np.unique(
             self.hashes, return_index=True, return_counts=True)
+        self.max_pos = int(self.positions.max()) if len(self.positions) else 0
 
         # Primary lookup path: native open-addressing probe table (O(1) per
         # query vs a 25-deep random-access binary search at chromosome scale).

@@ -120,13 +120,19 @@ def get_lib():
                 _i64p, ctypes.c_int64, _i64p, _i64p, _i64p, _i64p]
             lib.index_fill.restype = None
             _i8p = ctypes.POINTER(ctypes.c_int8)
+            _i32p = ctypes.POINTER(ctypes.c_int32)
             lib.index_fill_anchors.argtypes = [
                 _i64p, _i64p, _i8p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, _i64p, _i64p,
-                ctypes.POINTER(ctypes.c_int32), _i64p, _i8p,
-                _i64p, _i64p, ctypes.POINTER(ctypes.c_int32),
+                _i32p, _i64p, _i8p,
+                _i32p, _i32p, _i32p,
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.index_fill_anchors.restype = None
+            lib.sort_anchors32.argtypes = [
+                _i32p, _i32p, _i32p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, _i32p, _i32p, _i32p, _i32p,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.sort_anchors32.restype = ctypes.c_int64
             lib.sort_anchors.argtypes = [
                 _i64p, _i64p, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -193,11 +199,36 @@ def minimizer_sketch(codes, k, w):
 def sort_anchors(qpos, rpos, chrom, rev):
     """Native radix sort of anchors by (group, rpos, qpos); emits permuted
     (qpos, rpos, group, chrom, rev) arrays directly. Returns None when the
-    native library is unavailable or a field exceeds the key range."""
+    native library is unavailable or a field exceeds the key range.
+
+    int32 position arrays take the 32-bit fast path (half the key-build
+    traffic); anything else goes through the int64 dynamic-width variant."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(qpos)
+    if (isinstance(qpos, np.ndarray) and qpos.dtype == np.int32
+            and isinstance(rpos, np.ndarray) and rpos.dtype == np.int32):
+        chrom32 = np.ascontiguousarray(chrom, dtype=np.int32)
+        rev8 = np.ascontiguousarray(rev, dtype=np.uint8)
+        out_q = np.empty(n, dtype=np.int32)
+        out_r = np.empty(n, dtype=np.int32)
+        out_g = np.empty(n, dtype=np.int32)
+        out_c = np.empty(n, dtype=np.int32)
+        out_v = np.empty(n, dtype=np.uint8)
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        rc = lib.sort_anchors32(
+            np.ascontiguousarray(qpos).ctypes.data_as(_i32p),
+            np.ascontiguousarray(rpos).ctypes.data_as(_i32p),
+            chrom32.ctypes.data_as(_i32p),
+            rev8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n),
+            out_q.ctypes.data_as(_i32p), out_r.ctypes.data_as(_i32p),
+            out_g.ctypes.data_as(_i32p), out_c.ctypes.data_as(_i32p),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc == 0:
+            return out_q, out_r, out_g, out_c, out_v.astype(bool)
+        # fall through to the 64-bit dynamic-width variant
     qpos = np.ascontiguousarray(qpos, dtype=np.int64)
     rpos = np.ascontiguousarray(rpos, dtype=np.int64)
     chrom = np.ascontiguousarray(chrom, dtype=np.int32)
@@ -305,8 +336,8 @@ class HashIndex:
         if nq > 1:
             np.cumsum(counts[:-1], out=offsets[1:])
         total = int(counts.sum())
-        a_qpos = np.empty(total, dtype=np.int64)
-        rpos = np.empty(total, dtype=np.int64)
+        a_qpos = np.empty(total, dtype=np.int32)
+        rpos = np.empty(total, dtype=np.int32)
         chrom = np.empty(total, dtype=np.int32)
         rev = np.empty(total, dtype=np.uint8)
         if total:
@@ -321,8 +352,8 @@ class HashIndex:
                 idx_chrom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 idx_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 idx_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                a_qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                rpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                a_qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                rpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 chrom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 rev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return a_qpos, rpos, chrom, rev.astype(bool)

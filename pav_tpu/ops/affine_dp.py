@@ -425,18 +425,25 @@ def _launch_with_fallback(fn, *args, backend_kind):
         if backend_kind != 'pallas':
             raise
     with _PALLAS_RETRY_LOCK:
-        if not _PALLAS_DISABLED:
+        last = None
+        for attempt in range(3):
+            if _PALLAS_DISABLED:
+                break
             try:
                 return fn(*args, backend_kind='pallas')
             except Exception as ex:
-                _PALLAS_DISABLED = True
-                import sys
-                first = str(ex).strip().splitlines()[:1]
-                sys.stderr.write(
-                    '[pav_tpu] pallas DP kernel failed to compile on this '
-                    f'target ({type(ex).__name__}: '
-                    f'{first[0][:200] if first else ""}); '
-                    'falling back to the XLA kernel\n')
+                last = ex
+                import time as _time
+                _time.sleep(3 * (attempt + 1))   # transient helper 500s clear
+        if not _PALLAS_DISABLED and last is not None:
+            _PALLAS_DISABLED = True
+            import sys
+            first = str(last).strip().splitlines()[:1]
+            sys.stderr.write(
+                '[pav_tpu] pallas DP kernel failed to compile on this '
+                f'target ({type(last).__name__}: '
+                f'{first[0][:200] if first else ""}); '
+                'falling back to the XLA kernel\n')
     return fn(*args, backend_kind='xla')
 
 

@@ -230,21 +230,42 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
 
     if accel and len(launches) > 1:
         # Remote-compile backends overlap concurrent compiles server-side
-        # (~3x observed); threads block in backend_compile with the GIL
-        # released. Priming is time-budgeted (PAV_TPU_PRIME_BUDGET_S): the
-        # shape list is ordered most-common-first, cached shapes load in
-        # milliseconds, and anything unprimed compiles once inline — so a
-        # cold cache costs the budget, not the full enumeration.
+        # (~3x observed for XLA programs); threads block in backend_compile
+        # with the GIL released. Mosaic (pallas) compiles, however, 500 the
+        # tunnel's compile helper when other compiles are in flight — the
+        # same shapes compile fine alone — so pallas-eligible launches prime
+        # SERIALLY first, then the rest fan out over the pool. Priming is
+        # time-budgeted (PAV_TPU_PRIME_BUDGET_S): the shape list is ordered
+        # most-common-first, cached shapes load in milliseconds, and anything
+        # unprimed compiles once inline — a cold cache costs the budget, not
+        # the full enumeration.
         deadline = time.time() + float(
             os.environ.get('PAV_TPU_PRIME_BUDGET_S', 420))
         from concurrent.futures import ThreadPoolExecutor
+
+        from .align.aligner.core import _shape_batch as _sb
+        from .ops import pallas_dp as _pd
+
+        def pallas_eligible(launch):
+            (m_b, n_b), width_b = launch
+            if width_b != n_b + 1:
+                return False
+            cap = _sb(m_b, width_b)
+            return any(_pd.feasible_block(b, m_b, width_b)
+                       for b in {cap, max(cap // 2, 8), max(cap // 8, 8)})
+
+        serial = [l for l in launches if pallas_eligible(l)]
+        pooled = [l for l in launches if not pallas_eligible(l)]
+        for launch in serial:
+            if time.time() < deadline:
+                prime_one(launch)
 
         def prime_budgeted(launch):
             if time.time() < deadline:
                 prime_one(launch)
 
         with ThreadPoolExecutor(max_workers=4) as pool:
-            list(pool.map(prime_budgeted, launches))
+            list(pool.map(prime_budgeted, pooled))
     else:
         handles = []
         for (m_b, n_b), width_b in launches:

@@ -392,6 +392,38 @@ def _slice_rows(arr, rows):
 
 
 _PALLAS_DISABLED = False   # set after a Mosaic compile failure (auto-fallback)
+_PALLAS_BAD = set()        # (B_pad, max_m, width) shapes that failed to lower
+
+
+def _pallas_bad_path():
+    cache = os.path.join(os.path.expanduser('~'), '.cache', 'pav_tpu')
+    return os.path.join(cache, 'pallas_bad_shapes.json')
+
+
+def _load_pallas_bad():
+    """Known-bad Mosaic shapes persist across processes: retrying a
+    deterministic lowering failure costs ~14s of compile-service round trips
+    per shape per process (measured: widths 129/257 with max_m >= 32 fail on
+    this target at every batch size; all other bench shapes lower)."""
+    import json
+    try:
+        with open(_pallas_bad_path()) as fh:
+            _PALLAS_BAD.update(tuple(s) for s in json.load(fh))
+    except Exception:
+        pass
+
+
+def _save_pallas_bad():
+    import json
+    try:
+        os.makedirs(os.path.dirname(_pallas_bad_path()), exist_ok=True)
+        with open(_pallas_bad_path(), 'w') as fh:
+            json.dump(sorted(_PALLAS_BAD), fh)
+    except Exception:
+        pass
+
+
+_load_pallas_bad()
 
 
 def _pallas_backend_kind():
@@ -412,13 +444,13 @@ def _pallas_backend_kind():
 _PALLAS_RETRY_LOCK = threading.Lock()
 
 
-def _launch_with_fallback(fn, *args, backend_kind):
-    """Dispatch a DP program; if the pallas path fails to compile, retry it
-    once serially (the tunneled compile helper 500s under CONCURRENT Mosaic
-    requests — e.g. the 4-thread priming pool — while the same shapes
-    compile fine alone), then permanently fall back to the XLA kernel for
-    this process."""
-    global _PALLAS_DISABLED
+def _launch_with_fallback(fn, *args, backend_kind, shape_key=None):
+    """Dispatch a DP program; if the pallas path fails to compile (the
+    tunneled Mosaic compile service 500s on some (shape, batch) programs and
+    transiently on others), retry serially with backoff, then fall back to
+    the XLA kernel for THAT shape only — other shapes keep the pallas path."""
+    if backend_kind == 'pallas' and shape_key in _PALLAS_BAD:
+        backend_kind = 'xla'
     try:
         return fn(*args, backend_kind=backend_kind)
     except Exception:
@@ -426,24 +458,22 @@ def _launch_with_fallback(fn, *args, backend_kind):
             raise
     with _PALLAS_RETRY_LOCK:
         last = None
-        for attempt in range(3):
-            if _PALLAS_DISABLED:
-                break
+        for attempt in range(2):
             try:
                 return fn(*args, backend_kind='pallas')
             except Exception as ex:
                 last = ex
                 import time as _time
                 _time.sleep(3 * (attempt + 1))   # transient helper 500s clear
-        if not _PALLAS_DISABLED and last is not None:
-            _PALLAS_DISABLED = True
-            import sys
-            first = str(last).strip().splitlines()[:1]
-            sys.stderr.write(
-                '[pav_tpu] pallas DP kernel failed to compile on this '
-                f'target ({type(last).__name__}: '
-                f'{first[0][:200] if first else ""}); '
-                'falling back to the XLA kernel\n')
+        _PALLAS_BAD.add(shape_key)
+        _save_pallas_bad()
+        import sys
+        first = str(last).strip().splitlines()[:1]
+        sys.stderr.write(
+            '[pav_tpu] pallas DP kernel failed to compile for shape '
+            f'{shape_key} ({type(last).__name__}: '
+            f'{first[0][:160] if first else ""}); '
+            'using the XLA kernel for this shape\n')
     return fn(*args, backend_kind='xla')
 
 
@@ -648,7 +678,8 @@ class BandedAligner:
                 int(sc['match']), int(sc['mismatch']),
                 int(sc['gap_open'][0]), int(sc['gap_open'][1]),
                 int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
-                backend_kind=_pallas_backend_kind())
+                backend_kind=_pallas_backend_kind(),
+                shape_key=(B_pad, max_m, int(width)))
         else:
             fused = _launch_with_fallback(
                 _align_and_trace,
@@ -658,7 +689,8 @@ class BandedAligner:
                 int(sc['match']), int(sc['mismatch']),
                 int(sc['gap_open'][0]), int(sc['gap_open'][1]),
                 int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
-                backend_kind=_pallas_backend_kind())
+                backend_kind=_pallas_backend_kind(),
+                shape_key=(B_pad, max_m, int(width)))
 
         STATS['launches'] += 1
         STATS['items'] += B
@@ -707,7 +739,8 @@ class BandedAligner:
             int(sc['match']), int(sc['mismatch']),
             int(sc['gap_open'][0]), int(sc['gap_open'][1]),
             int(sc['gap_ext'][0]), int(sc['gap_ext'][1]),
-            backend_kind=_pallas_backend_kind())
+            backend_kind=_pallas_backend_kind(),
+            shape_key=(B_pad, max_m, int(width)))
         STATS['launches'] += 1
         STATS['items'] += B
         STATS['h2d_bytes'] += arr.nbytes

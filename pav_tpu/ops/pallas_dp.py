@@ -46,10 +46,12 @@ def feasible_block(B, max_m, width):
     def fits(bb):
         return bb * width * (max_m + 14 * 4) <= _VMEM_BUDGET
 
-    if fits(B):
+    # Blocks past 1024 batch rows fail Mosaic compilation outright
+    # (measured: BB=2048/8192 single-block programs 500 the compile helper
+    # at every batch size; BB<=1024 compile), independent of the VMEM
+    # estimate — cap all candidates there.
+    if B <= 1024 and fits(B):
         return B
-    # 512 cap: BB=1024 blocks overflow VMEM in practice even when the
-    # estimate fits (Mosaic's double-buffered pipeline doubles input tiles).
     for bb in (512, 256, 128):
         if bb < B and B % bb == 0 and fits(bb):
             return bb
@@ -99,7 +101,7 @@ def _dp_kernel(q_ref, r_ref, m_ref, n_ref, tb_ref,
         e_best = jnp.maximum(e1_new, e2_new)
         bit_e_piece2 = e2_new > e1_new
 
-        qb = q_ref[i - 1, 0, :].reshape(B, 1)         # [B, 1] int32
+        qb = q_ref[i - 1, :].reshape(B, 1)            # [B, 1] int32
         rb32 = rb.astype(jnp.int32)
         subst = jnp.where((qb == rb32) & (qb < 4) & (rb32 < 4), match, mismatch)
         diag = shift_right(h_prev, 1) + subst
@@ -174,20 +176,19 @@ def pallas_align_full(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((max_m, 1, BB), lambda b: (0, 0, b)),
+            # q rides 2-D [max_m, B] int32: Mosaic cannot lower the per-row
+            # i8 vector relayout, and 3-D [m,1,B] operands hit
+            # batch-size-dependent XLA-vs-Mosaic tiling mismatches.
+            pl.BlockSpec((max_m, BB), lambda b: (0, b)),
             pl.BlockSpec((BB, max_n), lambda b: (b, 0)),
-            # m/n ride 2-D [B, 1]: 1-D s32 operands hit an XLA-vs-Mosaic
-            # tiling mismatch (T(1024) vs block-sized T) when gridded.
+            # m/n ride 2-D [B, 1]: 1-D s32 operands hit the same mismatch.
             pl.BlockSpec((BB, 1), lambda b: (b, 0)),
             pl.BlockSpec((BB, 1), lambda b: (b, 0)),
         ],
         out_specs=pl.BlockSpec((max_m, BB, width), lambda b: (0, b, 0)),
         out_shape=jax.ShapeDtypeStruct((max_m, B, width), jnp.uint8),
         interpret=interpret,
-        # q rides as int32: Mosaic cannot lower the per-row [1,1,B]->[B,1]
-        # i8 vector relayout, and q is tiny next to the traceback output.
-    )(q.T.reshape(q.shape[1], 1, B).astype(jnp.int32), r,
-      m.reshape(B, 1), n.reshape(B, 1))
+    )(q.T.astype(jnp.int32), r, m.reshape(B, 1), n.reshape(B, 1))
 
     offs = jnp.zeros((B, max_m), dtype=jnp.int32)
     return jnp.transpose(tb, (1, 0, 2)), offs

@@ -351,7 +351,7 @@ def start_wedge_watchdog(threshold_s=None):
     from pav_tpu import runtime
 
     if threshold_s is None:
-        threshold_s = float(os.environ.get('PAV_BENCH_WEDGE_S', 240))
+        threshold_s = float(os.environ.get('PAV_BENCH_WEDGE_S', 180))
     state = {'armed': True}
     runtime.mark_progress()
 
@@ -368,13 +368,19 @@ def start_wedge_watchdog(threshold_s=None):
             env = dict(os.environ)
             env['PAV_BENCH_WEDGE_RETRY'] = str(retry + 1)
             env['PAV_BENCH_PROBED'] = '1'
-            if retry >= 3:
+            # Budget-aware: another TPU attempt risks a further wedge cycle
+            # (threshold + restart); once the remaining budget cannot absorb
+            # one more cycle plus a full CPU run, go straight to CPU — a
+            # recorded 12x beats an rc=124 (measured: a wedge-prone session
+            # burned 4 x 240s and timed out before the CPU fallback).
+            cpu_now = retry >= 2 or budget_left() < threshold_s + 420
+            if cpu_now:
                 env['JAX_PLATFORMS'] = 'cpu'
             sys.stderr.write(
                 f'[bench] device link wedged (no completed transfer for '
                 f'{idle:.0f}s); re-exec with a fresh connection '
                 f'(retry {retry + 1}'
-                + (', falling back to CPU backend' if retry >= 3 else '')
+                + (', falling back to CPU backend' if cpu_now else '')
                 + ')\n')
             sys.stderr.flush()
             os.execve(sys.executable,

@@ -130,8 +130,10 @@ def ensure_healthy_backend():
     if os.environ.get('JAX_PLATFORMS') == 'cpu':
         return
     # Each probe attempt gets at most a third of the remaining budget, so a
-    # wedged tunnel cannot eat the wall the headline JSON needs.
-    timeout = min(float(os.environ.get('PAV_BENCH_PROBE_TIMEOUT', 600)),
+    # wedged tunnel cannot eat the wall the headline JSON needs. 300s covers
+    # a cold-cache probe (two tunneled compiles ~100-200s); a healthy warm
+    # probe finishes in ~30s, so anything longer is a wedge.
+    timeout = min(float(os.environ.get('PAV_BENCH_PROBE_TIMEOUT', 300)),
                   max(60.0, budget_left() / 3))
     root = os.path.dirname(os.path.abspath(__file__))
 

@@ -598,19 +598,53 @@ class Aligner:
             boundary = ~((dq == dr) & (dq <= k))
             b_idx = np.nonzero(boundary)[0]  # anchor-gap index a-1 -> pair (a-1, a)
 
+            # Batched mismatch classification for the equal-length boundary
+            # segments (the common case: SNVs and small substitutions): one
+            # gather + reduceat replaces three numpy calls per tiny segment —
+            # the per-boundary Python/numpy overhead otherwise dominates
+            # chromosome-scale planning (measured 23s of a 63s run).
+            bq0 = qpos[b_idx].astype(np.int64)
+            br0 = rpos[b_idx].astype(np.int64)
+            bq1 = qpos[b_idx + 1].astype(np.int64)
+            br1 = rpos[b_idx + 1].astype(np.int64)
+            bcut = np.maximum(0, np.maximum(k - (bq1 - bq0), k - (br1 - br0)))
+            bsq0 = bq0 + k - bcut
+            bsr0 = br0 + k - bcut
+            blq = bq1 - bsq0
+            blr = br1 - bsr0
+            hints = {}
+            eq_sel = np.nonzero((blq == blr) & (blq > 0))[0]
+            if len(eq_sel):
+                lens_e = blq[eq_sel]
+                offs = np.zeros(len(lens_e) + 1, dtype=np.int64)
+                np.cumsum(lens_e, out=offs[1:])
+                total = int(offs[-1])
+                rel = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens_e)
+                gq = np.repeat(bsq0[eq_sel], lens_e) + rel
+                gr = np.repeat(bsr0[eq_sel], lens_e) + rel
+                oq = oriented[gq]
+                mism_all = (oq != ref[gr]) | (oq >= 4)
+                # reduceat keeps the operand dtype — bool would saturate at 1
+                counts_e = (np.add.reduceat(mism_all.astype(np.int32), offs[:-1])
+                            if total else [])
+                for j, sel in enumerate(eq_sel):
+                    hints[int(sel)] = (int(counts_e[j]),
+                                       mism_all[offs[j]:offs[j + 1]])
+
             seg_start = 0  # anchor index where the current exact run started
-            for bi in b_idx:
-                q0, r0 = int(qpos[bi]), int(rpos[bi])
-                q1, r1 = int(qpos[bi + 1]), int(rpos[bi + 1])
-                cut = max(0, k - (q1 - q0), k - (r1 - r0))
+            for pos_i, bi in enumerate(b_idx):
+                q0 = int(bq0[pos_i])
+                q1, r1 = int(bq1[pos_i]), int(br1[pos_i])
+                cut = int(bcut[pos_i])
                 run_len = k + (q0 - int(qpos[seg_start])) - cut
                 if run_len > 0:
                     parts.append(('cig', [[run_len, cg.EQ]]))
-                seg_q0 = q0 + k - cut
-                seg_r0 = r0 + k - cut
+                seg_q0 = int(bsq0[pos_i])
+                seg_r0 = int(bsr0[pos_i])
                 self._add_segment(oriented[seg_q0:q1], ref[seg_r0:r1], parts, segments,
                                   qd=_sub_desc(qd0, seg_q0, q1),
-                                  rd=_sub_desc(rd0, seg_r0, r1))
+                                  rd=_sub_desc(rd0, seg_r0, r1),
+                                  mism_hint=hints.get(pos_i))
                 seg_start = bi + 1
             run_len = k + (int(qpos[-1]) - int(qpos[seg_start]))
             parts.append(('cig', [[run_len, cg.EQ]]))
@@ -625,8 +659,14 @@ class Aligner:
             'parts': parts,
         }
 
-    def _add_segment(self, sq, sr, parts, segments, depth=0, qd=None, rd=None):
-        """Register one inter-anchor gap; fast paths avoid DP when possible."""
+    def _add_segment(self, sq, sr, parts, segments, depth=0, qd=None, rd=None,
+                     mism_hint=None):
+        """Register one inter-anchor gap; fast paths avoid DP when possible.
+
+        :param mism_hint: optional (n_mism, mism bool view) precomputed by
+            the caller's batched pass over all boundaries (one gather +
+            reduceat instead of three numpy calls per tiny segment).
+        """
         lq, lr = len(sq), len(sr)
         if lq == 0 and lr == 0:
             return
@@ -637,8 +677,11 @@ class Aligner:
             parts.append(('cig', [[lq, cg.I]]))
             return
         if lq == lr:
-            mism = (sq != sr) | (sq >= 4)
-            n_mism = int(np.count_nonzero(mism))
+            if mism_hint is not None:
+                n_mism, mism = mism_hint
+            else:
+                mism = (sq != sr) | (sq >= 4)
+                n_mism = int(np.count_nonzero(mism))
             if n_mism <= max(2, _DIRECT_MISMATCH_FRAC * lq):
                 parts.append(('cig', _compare_runs_list(mism)))
                 return

@@ -435,33 +435,50 @@ class Aligner:
         """Greedy best-score-first selection of chains whose original-frame
         query spans overlap accepted+covered spans by < max_overlap_frac."""
         spans = _coalesce_spans(list(covered))
-        lo_arr = np.array([s for s, _ in spans], dtype=np.int64)
-        hi_arr = np.array([e for _, e in spans], dtype=np.int64)
+        n_base = len(spans)
+        # Pre-sized span arrays (appends were O(n^2) copies) + vectorized
+        # competitor updates: the rejected->accepted inner loop was 6.6s of a
+        # chromosome-scale run.
+        cap = n_base + len(chains)
+        lo_arr = np.empty(cap, dtype=np.int64)
+        hi_arr = np.empty(cap, dtype=np.int64)
+        for i, (s, e) in enumerate(spans):
+            lo_arr[i] = s
+            hi_arr[i] = e
+        n_spans = n_base
         accepted = []
-        acc_spans = []
+        best_sec = np.zeros(len(chains), dtype=np.float64)
         for c in sorted(chains, key=lambda c: -c.score):
             lo, hi = self._orig_span(c, qlen, self.k)
             length = hi - lo
             if length <= 0:
                 continue
-            if len(lo_arr):
+            if n_spans:
                 overlap = int(np.maximum(
-                    0, np.minimum(hi_arr, hi) - np.maximum(lo_arr, lo)).sum())
+                    0, np.minimum(hi_arr[:n_spans], hi)
+                    - np.maximum(lo_arr[:n_spans], lo)).sum())
             else:
                 overlap = 0
             if overlap <= max_overlap_frac * length:
                 c.best_secondary = 0.0
                 accepted.append(c)
-                acc_spans.append((lo, hi))
-                lo_arr = np.append(lo_arr, lo)
-                hi_arr = np.append(hi_arr, hi)
-            else:
+                lo_arr[n_spans] = lo
+                hi_arr[n_spans] = hi
+                n_spans += 1
+            elif accepted:
                 # Record the strongest rejected competitor per accepted chain
-                # (drives the MAPQ second-best ratio).
-                for a, (alo, ahi) in zip(accepted, acc_spans):
-                    if min(ahi, hi) - max(alo, lo) > 0:
-                        a.best_secondary = max(a.best_secondary, c.score)
-        return accepted, list(zip(lo_arr.tolist(), hi_arr.tolist()))
+                # (drives the MAPQ second-best ratio). Accepted spans are the
+                # tail [n_base:n_spans] of the arrays, in accept order.
+                ov = (np.minimum(hi_arr[n_base:n_spans], hi)
+                      - np.maximum(lo_arr[n_base:n_spans], lo)) > 0
+                hit = np.nonzero(ov)[0]
+                if len(hit):
+                    np.maximum.at(best_sec, hit, c.score)
+        for j, a in enumerate(accepted):
+            if best_sec[j] > 0:
+                a.best_secondary = best_sec[j]
+        return accepted, list(zip(lo_arr[:n_spans].tolist(),
+                                  hi_arr[:n_spans].tolist()))
 
     @staticmethod
     def _mapq(chain):

@@ -549,6 +549,9 @@ def main():
         'vs_baseline': round(value / BASELINE_MBP_S, 3),
         'mfu': round(mfu, 4),
         'peak_rss_gb': round(peak_rss_gb, 2),
+        # 'cpu' here means the wedge/probe fallback ran the whole engine on
+        # the host backend (still >10x baseline); 'tpu' is the normal path.
+        'backend': jax.default_backend(),
     }
     print(json.dumps(out), flush=True)
 

@@ -979,14 +979,23 @@ class Aligner:
                     m_b = _bucket_pow2(m, lo=16)
                     n_b = _bucket_pow2(n, lo=16)
                 regroup[(m_b, n_b)].append((i, t))
+            # Two-phase like the main pass: dispatch every retry class, then
+            # resolve together — each synchronous resolve costs a full link
+            # round trip (~0.5s), and repeat-rich input produces many retry
+            # classes (measured 6.3s of untracked align time).
+            retry_launches = []
             for (m_b, n_b), entries in sorted(regroup.items()):
                 batch = _shape_batch(m_b, n_b + 1)
                 for lo in range(0, len(entries), batch):
                     chunk = entries[lo:lo + batch]
                     handle = launch_chunk(chunk, n_b + 1, m_b, n_b,
                                           batch_pad(batch, len(chunk)))
-                    for (i, t), res in zip(chunk, handle()):
-                        segments[i].result = _swap_ins_del(res) if t else res
+                    retry_launches.append((chunk, handle))
+            for (chunk, handle), results in zip(
+                    retry_launches,
+                    _resolve_handles([h for _, h in retry_launches])):
+                for (i, t), res in zip(chunk, results):
+                    segments[i].result = _swap_ins_del(res) if t else res
 
         # Post-DP break detection: long segments that still aligned terribly.
         # Extension segments are exempt — their best-prefix trim already drops

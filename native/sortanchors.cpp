@@ -15,6 +15,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -67,19 +68,61 @@ int64_t sort_anchors_impl(const P* qpos, const P* rpos,
     }
 
     // 4 passes of 16-bit digits (63-bit key); constant digits need no pass.
+    // Large inputs (repeat screens yield tens of millions of anchors per
+    // contig) histogram and scatter chunk-parallel: per-chunk histograms
+    // combine into per-(chunk, digit) start offsets, and each thread
+    // scatters its own chunk — stable, race-free (disjoint destinations).
     static thread_local std::vector<int64_t> count;
-    count.resize(1 << 16);
+    const int n_thr = (n >= (8 << 20))
+        ? static_cast<int>(std::min(4u, std::thread::hardware_concurrency()))
+        : 1;
+    count.resize((1 << 16) * static_cast<size_t>(n_thr));
+    const int64_t chunk = (n + n_thr - 1) / n_thr;
     for (int pass = 0; pass < 4; ++pass) {
         const int shift = pass * 16;
         if (((all_or >> shift) & 0xFFFF) == ((all_and >> shift) & 0xFFFF))
             continue;
-        std::memset(count.data(), 0, count.size() * sizeof(int64_t));
-        for (int64_t i = 0; i < n; ++i)
-            ++count[(key[i] >> shift) & 0xFFFF];
+        std::memset(count.data(), 0,
+                    count.size() * sizeof(int64_t));
+        // Grab the pointer on the CALLING thread: `count` is thread_local,
+        // so worker threads must not evaluate count.data() themselves.
+        int64_t* cbase = count.data();
+        auto hist = [&, cbase](int t) {
+            int64_t* c = cbase + (static_cast<size_t>(t) << 16);
+            const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            for (int64_t i = lo; i < hi; ++i)
+                ++c[(key[i] >> shift) & 0xFFFF];
+        };
+        if (n_thr > 1) {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < n_thr; ++t) ths.emplace_back(hist, t);
+            for (auto& th : ths) th.join();
+        } else {
+            hist(0);
+        }
+        // Exclusive prefix over (digit, chunk) in digit-major order.
         int64_t sum = 0;
-        for (auto& c : count) { const int64_t t = c; c = sum; sum += t; }
-        for (int64_t i = 0; i < n; ++i)
-            key2[count[(key[i] >> shift) & 0xFFFF]++] = key[i];
+        for (int d = 0; d < (1 << 16); ++d) {
+            for (int t = 0; t < n_thr; ++t) {
+                int64_t& c = count[(static_cast<size_t>(t) << 16) + d];
+                const int64_t v = c;
+                c = sum;
+                sum += v;
+            }
+        }
+        auto scatter = [&, cbase](int t) {
+            int64_t* c = cbase + (static_cast<size_t>(t) << 16);
+            const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+            for (int64_t i = lo; i < hi; ++i)
+                key2[c[(key[i] >> shift) & 0xFFFF]++] = key[i];
+        };
+        if (n_thr > 1) {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < n_thr; ++t) ths.emplace_back(scatter, t);
+            for (auto& th : ths) th.join();
+        } else {
+            scatter(0);
+        }
         uint64_t* t = key; key = key2; key2 = t;
     }
 

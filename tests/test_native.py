@@ -226,3 +226,25 @@ def test_chain_select_extract_parity(seed):
     assert a is not None and b is not None
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_sort_anchors_parallel_path_parity():
+    """The chunk-parallel radix path activates at n >= 8M anchors; pin its
+    stable-order parity against numpy lexsort (small-n tests only exercise
+    the single-threaded path)."""
+    rng = np.random.default_rng(9)
+    n = (8 << 20) + 12345
+    qpos = rng.integers(0, 1 << 26, n).astype(np.int32)
+    rpos = rng.integers(0, 1 << 26, n).astype(np.int32)
+    chrom = rng.integers(0, 6, n).astype(np.int32)
+    rev = rng.integers(0, 2, n).astype(np.uint8)
+    res = native.sort_anchors(qpos, rpos, chrom, rev)
+    assert res is not None
+    sq, sr, sg, sc, sv = res
+    group = chrom.astype(np.int64) * 2 + rev
+    order = np.lexsort((qpos, rpos, group))
+    assert np.array_equal(sq, qpos[order])
+    assert np.array_equal(sr, rpos[order])
+    assert np.array_equal(sg, group[order])
+    assert np.array_equal(sc, chrom[order])
+    assert np.array_equal(sv, rev[order].astype(bool))

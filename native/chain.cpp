@@ -159,8 +159,12 @@ void chain_dp(const int32_t* qpos, const int32_t* rpos, const int32_t* group,
               int64_t n, int32_t k, int32_t lookback,
               float max_dist, float max_gap_diff, float gap_scale,
               float* f_out, int64_t* parent_out) {
-    const int32_t mdist = static_cast<int32_t>(max_dist);
-    const int32_t mgap = static_cast<int32_t>(max_gap_diff);
+    // Clamp before casting: a configured limit >= 2^31 (or inf) must behave
+    // as "no limit", not wrap to INT32_MIN (float->int overflow is UB).
+    const int32_t mdist = (!(max_dist < 2147483647.0f))
+        ? INT32_MAX : static_cast<int32_t>(max_dist);
+    const int32_t mgap = (!(max_gap_diff < 2147483647.0f))
+        ? INT32_MAX : static_cast<int32_t>(max_gap_diff);
 #if defined(__AVX512F__)
     if (n <= INT32_MAX) {
         chain_dp_avx512(qpos, rpos, group, n, k, lookback, mdist, mgap,

@@ -73,8 +73,11 @@ int64_t sort_anchors_impl(const P* qpos, const P* rpos,
     // combine into per-(chunk, digit) start offsets, and each thread
     // scatters its own chunk — stable, race-free (disjoint destinations).
     static thread_local std::vector<int64_t> count;
+    // hardware_concurrency() may legally return 0 (restricted containers);
+    // never let n_thr reach 0 (chunk division below).
     const int n_thr = (n >= (8 << 20))
-        ? static_cast<int>(std::min(4u, std::thread::hardware_concurrency()))
+        ? static_cast<int>(std::min(
+              4u, std::max(1u, std::thread::hardware_concurrency())))
         : 1;
     count.resize((1 << 16) * static_cast<size_t>(n_thr));
     const int64_t chunk = (n + n_thr - 1) / n_thr;

@@ -71,7 +71,8 @@ def collect_anchors(qry_codes, index, max_occ=64):
     # The fused native path emits int32 anchor rows; scaffolds or contigs
     # past 2^31 take the int64 numpy path below.
     if (hi is not None
-            and qlen < (1 << 31) and getattr(index, 'max_pos', 0) < (1 << 31)):
+            and qlen < (1 << 31)
+            and getattr(index, 'max_pos', 1 << 62) < (1 << 31)):
         # Fused native path: probe + strand transform + row assembly in one C
         # pass (skips four hit-sized numpy passes). Queries are independent ->
         # chunk-parallel over the sketch pool (the probe releases the GIL).

@@ -391,7 +391,6 @@ def _slice_rows(arr, rows):
     return arr[:rows]
 
 
-_PALLAS_DISABLED = False   # set after a Mosaic compile failure (auto-fallback)
 _PALLAS_BAD = set()        # (B_pad, max_m, width) shapes that failed to lower
 
 
@@ -431,10 +430,10 @@ def _pallas_backend_kind():
     DEFAULT on accelerators — hardware-validated bit-identical to the XLA
     kernel and faster per launch), 'pallas-interp' (CPU interpreter, tests),
     or 'xla'. PAV_TPU_PALLAS=0 opts out; =1 forces it on CPU (interpreter).
-    A Mosaic compile failure on an untested target disables pallas for the
-    process and the launch retries on the XLA kernel."""
+    A Mosaic compile failure falls back to the XLA kernel per shape (see
+    _launch_with_fallback)."""
     env = os.environ.get('PAV_TPU_PALLAS')
-    if _PALLAS_DISABLED or env == '0':
+    if env == '0':
         return 'xla'
     if jax.default_backend() == 'cpu':
         return 'pallas-interp' if env == '1' else 'xla'
@@ -466,7 +465,13 @@ def _launch_with_fallback(fn, *args, backend_kind, shape_key=None):
                 import time as _time
                 _time.sleep(3 * (attempt + 1))   # transient helper 500s clear
         _PALLAS_BAD.add(shape_key)
-        _save_pallas_bad()
+        # Persist only deterministic compile/lowering failures; transient
+        # device errors (OOM, link wedge) degrade this process only, so the
+        # shape is re-validated on the next run.
+        msg = f'{type(last).__name__}: {last}'
+        if any(s in msg for s in ('Mosaic', 'lower', 'compile', 'Compile',
+                                  'INTERNAL', 'UNIMPLEMENTED')):
+            _save_pallas_bad()
         import sys
         first = str(last).strip().splitlines()[:1]
         sys.stderr.write(

@@ -248,3 +248,21 @@ def test_sort_anchors_parallel_path_parity():
     assert np.array_equal(sg, group[order])
     assert np.array_equal(sc, chrom[order])
     assert np.array_equal(sv, rev[order].astype(bool))
+
+
+def test_chain_dp_unbounded_limits():
+    """max_dist/max_gap_diff >= 2^31 (or inf) must mean "no limit", not wrap
+    to INT32_MIN in the native int32 comparison (advisor finding r4)."""
+    rng = np.random.default_rng(11)
+    n = 500
+    qpos = np.sort(rng.integers(0, 100000, n)).astype(np.int64)
+    rpos = (qpos + rng.integers(-30, 30, n)).astype(np.int64)
+    group = np.zeros(n, dtype=np.int64)
+
+    f_ref, _ = native.chain_dp(qpos, rpos, group, 19, 64,
+                               1e9, 1e9, 0.05)
+    for big in (float(1 << 33), float('inf')):
+        f_big, _ = native.chain_dp(qpos, rpos, group, 19, 64,
+                                   big, big, 0.05)
+        np.testing.assert_allclose(f_big, f_ref, rtol=1e-5, atol=1e-3)
+    assert f_ref.max() > 19.0  # chaining actually linked anchors

@@ -24,14 +24,31 @@ from .variant_id import version_variant_bed_id
 
 def apply_qry_filter_tree(df, qry_filter_index, filter_dict):
     """Add QRY_FILTER for variants whose QRY_REGION intersects filter regions
-    (reference: pavlib/call.py:521-539)."""
+    (reference: pavlib/call.py:521-539).
+
+    Vectorized: the QRY_REGION column is parsed once ("chrom:pos-end",
+    1-based closed, same grammar as regions.region_from_string) and each
+    chromosome group runs one overlap join against its filter index."""
     if qry_filter_index is None or df.shape[0] == 0:
         return
-    for index, qry_region in df['QRY_REGION'].items():
-        region = region_from_string(qry_region)
-        idx = qry_filter_index.get(region.chrom)
-        if idx is not None and idx.any_overlap(region.pos, region.end):
-            filter_dict[index].add('QRY_FILTER')
+    rgn = df['QRY_REGION'].astype(str).str.replace(',', '', regex=False)
+    parts = rgn.str.rsplit(':', n=1, expand=True)
+    coords = parts[1].str.split('-', n=1, expand=True)
+    chrom_a = parts[0].to_numpy()
+    pos_a = pd.to_numeric(coords[0]).to_numpy(dtype=np.int64) - 1
+    end_a = pd.to_numeric(coords[1]).to_numpy(dtype=np.int64)
+    index_a = df.index.to_numpy()
+    order = np.argsort(chrom_a, kind='stable')
+    bounds = np.nonzero(np.r_[True, chrom_a[order][1:] != chrom_a[order][:-1]])[0]
+    for g, lo in enumerate(bounds):
+        hi = bounds[g + 1] if g + 1 < len(bounds) else len(order)
+        sel = order[lo:hi]
+        idx = qry_filter_index.get(chrom_a[sel[0]])
+        if idx is None:
+            continue
+        q_idx, _ = idx.overlap_join(pos_a[sel], end_a[sel])
+        for i in np.unique(q_idx):
+            filter_dict[index_a[sel[i]]].add('QRY_FILTER')
 
 
 class CompoundFilterState:

@@ -89,3 +89,40 @@ def test_no_filter_column_is_noop(tmp_path):
     res = pipe.run_sample('s', {'h1': SeqStore({'t1': m.finish()})},
                           write_vcf=False)
     assert (res['haps']['h1'].integrated['snv_snv'][0]['POS'] == 9000).any()
+
+
+def test_apply_qry_filter_tree_vectorized_parity():
+    """The vectorized QRY_REGION parse + overlap join matches a per-row
+    region_from_string/any_overlap loop on randomized tables."""
+    import collections
+
+    from pav_tpu.call.integrate import apply_qry_filter_tree
+    from pav_tpu.regions import region_from_string
+    from pav_tpu.util import build_interval_index_by_chrom
+
+    rng = np.random.default_rng(77)
+    n = 500
+    tigs = np.array(['tig1', 'tig2', 'tig-x'])[rng.integers(0, 3, n)]
+    pos = rng.integers(0, 50000, n)
+    end = pos + rng.integers(1, 400, n)
+    qry_region = [f'{t}:{p + 1}-{e}' for t, p, e in zip(tigs, pos, end)]
+    df = pd.DataFrame({'QRY_REGION': qry_region},
+                      index=rng.permutation(np.arange(10, 10 + n)))
+
+    flt = pd.DataFrame({
+        '#CHROM': np.array(['tig1', 'tig2', 'tig-x'])[rng.integers(0, 3, 40)],
+        'POS': (fp := rng.integers(0, 50000, 40)),
+        'END': fp + rng.integers(100, 2000, 40)})
+    index = build_interval_index_by_chrom(flt)
+
+    got = collections.defaultdict(set)
+    apply_qry_filter_tree(df, index, got)
+
+    want = collections.defaultdict(set)
+    for i, rs in df['QRY_REGION'].items():
+        region = region_from_string(rs)
+        idx = index.get(region.chrom)
+        if idx is not None and idx.any_overlap(region.pos, region.end):
+            want[i].add('QRY_FILTER')
+    assert dict(got) == dict(want)
+    assert len(got) > 20   # the fixture actually exercises overlaps

@@ -156,16 +156,26 @@ def _accel_bucket(m, n):
     return m_b, n_b, 2048
 
 
-def _shape_batch(m_b, width_b):
+def _shape_batch(m_b, width_b, n_b=None):
     """Deterministic batch size for a DP shape (one compiled program each).
 
     Accelerators run much larger batches: per-launch overhead dominates small
     launches (measured: 4x batch -> ~1.6x time), and HBM comfortably holds the
-    bigger in-flight traceback tensor (<=512M cells = 512 MB uint8).
+    bigger in-flight traceback tensor (<=512M cells = 512 MB uint8). Banded
+    accelerator classes run the wavefront kernel, whose tape/subst tensors are
+    (m+n) x wave_width cells — size the batch cap by that footprint.
     """
     import jax
     if jax.default_backend() != 'cpu':
-        return max(8, min(16384, (512 << 20) // max(m_b * width_b, 1)))
+        cells = m_b * width_b
+        if n_b is not None and width_b < n_b + 1:
+            from ...ops.affine_dp import _wave_width
+            cells = max(cells, (m_b + n_b) * _wave_width(width_b))
+        cap = max(8, min(16384, (512 << 20) // max(cells, 1)))
+        # pow2-quantize: Mosaic block shapes want pow2 batch dims, and pow2
+        # caps compose with batch_pad's pow2-down ladder (a 63-item cap would
+        # otherwise produce 63/31/15 batch programs no priming covers).
+        return 1 << (cap.bit_length() - 1)
     return max(8, min(4096, (128 << 20) // max(m_b * width_b, 1)))
 
 
@@ -940,7 +950,7 @@ class Aligner:
         launches = []
         for (m_b, n_b, width_b), entries in sorted(buckets.items()):
             # Batch cap per shape, sized so in-flight DP state stays bounded.
-            batch = _shape_batch(m_b, width_b)
+            batch = _shape_batch(m_b, width_b, n_b)
             for lo in range(0, len(entries), batch):
                 chunk = entries[lo:lo + batch]
                 handle = launch_chunk(chunk, width_b, m_b, n_b,

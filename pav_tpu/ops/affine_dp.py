@@ -195,9 +195,39 @@ def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
     def one(qi, ri, mi, ni):
         max_off = jnp.maximum(ni + 1 - width, 0)
 
-        def row_offset(i):
-            center = jnp.where(mi > 0, (i * ni) // jnp.maximum(mi, 1), 0)
-            return jnp.clip(center - width // 2, 0, max_off)
+        # Per-row band placement and substitution rows are all precomputed
+        # OUTSIDE the scan: a per-step dynamic gather from ri (the previous
+        # formulation) serializes the row loop on scalar-unit address math —
+        # measured 47 Mcells/s on the (8192, 8192, 513) class vs ~700 Mcells/s
+        # for the gather-free full-width kernel. One batched gather up front
+        # plus pure elementwise scan steps recovers that gap.
+        i_arr = jnp.arange(1, max_m + 1, dtype=jnp.int32)
+        center = jnp.where(mi > 0, (i_arr * ni) // jnp.maximum(mi, 1), 0)
+        offs_all = jnp.clip(center - width // 2, 0, max_off)      # [max_m]
+        s_all = offs_all - jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), offs_all[:-1]])          # [max_m]
+        j_glob = offs_all[:, None] + w_idx[None, :]               # [max_m, w]
+        valid_all = (j_glob <= ni) & (i_arr[:, None] <= mi)       # [max_m, w]
+
+        # Band-aligned reference bases: ONE gather per item.
+        rb = ri[jnp.clip(j_glob - 1, 0, ri.shape[0] - 1)]         # [max_m, w]
+        qb = qi[:max_m, None]
+        subst_all = jnp.where((qb == rb) & (qb < 4) & (rb < 4),
+                              jnp.int32(match), jnp.int32(mismatch))
+        # Column 0 is never a diagonal target; fold the j>=1 guard into the
+        # substitution row with a -inf sentinel so diag masking is free.
+        subst_all = jnp.where(j_glob >= 1, subst_all, NEG)
+
+        # Row 0 is analytic (H[0][j] = -gapcost(j)), so leading deletions are
+        # scored exactly even when row 1's window starts past column 0. Only
+        # row 1 consumes it; precompute its window once.
+        def row0_at(j):
+            v = jnp.where(j == 0, 0,
+                          -jnp.minimum(o1 + j * e1, o2 + j * e2)).astype(jnp.int32)
+            return jnp.where((j >= 0) & (j <= ni), v, NEG)
+
+        row1_h0 = row0_at(j_glob[0])                              # H[0][j], row 1 window
+        row1_d0 = row0_at(j_glob[0] - 1)                          # H[0][j-1]
 
         # Row 0: H[0][j] = -gapcost(j), E = -inf, at offset row_offset(0)=0.
         j0 = w_idx
@@ -208,12 +238,9 @@ def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
         e10 = jnp.full(width, NEG, dtype=jnp.int32)
         e20 = jnp.full(width, NEG, dtype=jnp.int32)
 
-        def step(carry, i):
-            h_prev, e1_prev, e2_prev, off_prev = carry
-            off = row_offset(i)
-            s = off - off_prev
-            j_glob = off + w_idx
-            valid = (j_glob <= ni) & (i <= mi)
+        def step(carry, x):
+            h_prev, e1_prev, e2_prev = carry
+            subst, valid, s, first = x
 
             # Align previous-row windows to this row's offset.
             def shift(a, k):
@@ -221,17 +248,10 @@ def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
                     (w_idx + k >= 0) & (w_idx + k < width),
                     jnp.roll(a, -k), NEG)
 
-            # Row 0 is analytic (H[0][j] = -gapcost(j)), so leading deletions are
-            # scored exactly even when row 1's window starts past column 0.
-            def row0_at(j):
-                v = jnp.where(j == 0, 0,
-                              -jnp.minimum(o1 + j * e1, o2 + j * e2)).astype(jnp.int32)
-                return jnp.where((j >= 0) & (j <= ni), v, NEG)
-
-            h_up = jnp.where(i == 1, row0_at(j_glob), shift(h_prev, s))        # H[i-1][j]
-            e1_up = jnp.where(i == 1, NEG, shift(e1_prev, s))
-            e2_up = jnp.where(i == 1, NEG, shift(e2_prev, s))
-            h_diag = jnp.where(i == 1, row0_at(j_glob - 1), shift(h_prev, s - 1))  # H[i-1][j-1]
+            h_up = jnp.where(first, row1_h0, shift(h_prev, s))        # H[i-1][j]
+            e1_up = jnp.where(first, NEG, shift(e1_prev, s))
+            e2_up = jnp.where(first, NEG, shift(e2_prev, s))
+            h_diag = jnp.where(first, row1_d0, shift(h_prev, s - 1))  # H[i-1][j-1]
 
             # Vertical (query-consuming, 'I') gap states.
             e1_open = h_up - (o1 + e1)
@@ -247,11 +267,8 @@ def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
             e_best = jnp.maximum(e1_new, e2_new)
             bit_e_piece2 = e2_new > e1_new
 
-            # Diagonal.
-            qb = qi[i - 1]
-            rb = ri[jnp.clip(j_glob - 1, 0, ri.shape[0] - 1)]
-            subst = jnp.where((qb == rb) & (qb < 4) & (rb < 4), match, mismatch)
-            diag = jnp.where(j_glob >= 1, h_diag + subst, NEG)
+            # Diagonal (subst carries the j>=1 sentinel for column 0).
+            diag = jnp.where(subst == NEG, NEG, h_diag + subst)
             # Column 0 base case: H[i][0] = -gapcost(i) arrives via E from H[i-1][0].
 
             htilde = jnp.maximum(diag, e_best)
@@ -288,18 +305,211 @@ def _align_batch(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
                   | (bit_f1_open.astype(jnp.uint8) << 6)
                   | (bit_f2_open.astype(jnp.uint8) << 7))
 
-            return (h_new, e1_new, e2_new, off), (tb, off)
+            return (h_new, e1_new, e2_new), tb
 
-        (h_last, _, _, off_last), (tb, offs) = jax.lax.scan(
-            step, (h0, e10, e20, jnp.int32(0)),
-            jnp.arange(1, max_m + 1, dtype=jnp.int32))
+        (h_last, _, _), tb = jax.lax.scan(
+            step, (h0, e10, e20),
+            (subst_all, valid_all, s_all, i_arr == 1))
 
         # Score of the real last row (mi may be < max_m): gather H[mi][ni].
         # Recompute by tracking row mi's H: use where-trick inside scan instead.
-        return h_last, tb, offs
+        return h_last, tb, offs_all
 
     h_last, tb, offs = jax.vmap(one)(q, r, m, n)
     return h_last, tb, offs
+
+
+def _wave_width(width):
+    """i-space band width for the wavefront kernel. Launches are transposed
+    so m <= n per item, hence the i-deviation of any cell from the wave
+    center line is j-deviation * m/(m+n) <= half the row-band deviation —
+    width/2 lanes cover the same paths the row band does (+ rounding slop).
+    Rounded up to the 128-lane register width: the pallas and XLA wave
+    kernels share one band geometry, so either can resolve a launch."""
+    return ((width // 2 + 8 + 127) // 128) * 128
+
+
+def _wave_dblk(D):
+    """Diagonal-chunk size for the pallas wave grid: largest power of two
+    <= 256 dividing D (banded accelerator classes have pow2 dims, so this is
+    256 in practice)."""
+    b = 256
+    while b > 1 and D % b:
+        b //= 2
+    return b
+
+
+def _wave_geometry(mi, ni, max_m, max_n, D, Ww):
+    """Per-item wavefront band placement: (doffs, s1, s2), each [D] int32.
+
+    Window shifts s1 are in {0, 1} by construction: every term of the offset
+    formula is nondecreasing with unit increments (m <= n keeps the center
+    slope <= 1/2)."""
+    d_arr = jnp.arange(1, D + 1, dtype=jnp.int32)
+    tot = jnp.maximum(mi + ni, 1)
+    c = (d_arr * mi) // tot
+    lo = jnp.maximum(d_arr - ni, 0)
+    hi = jnp.maximum(mi + 1 - Ww, 0)
+    doffs = jnp.maximum(lo, jnp.minimum(c - Ww // 2, hi))
+    doffs_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), doffs[:-1]])
+    doffs_pp = jnp.concatenate([jnp.zeros((2,), jnp.int32), doffs[:-2]])
+    s1 = doffs - doffs_prev          # {0, 1}
+    s2 = doffs - doffs_pp            # {0, 1, 2}
+    return doffs, s1, s2
+
+
+def _wave_precompute(qi, ri, mi, ni, max_m, max_n, width, match, mismatch):
+    """Per-item wavefront geometry + band-aligned substitution rows.
+
+    Returns (subst [D, Ww] int8 with -128 = diag-invalid sentinel,
+    doffs/s1/s2 [D] int32).
+    """
+    D = max_m + max_n
+    Ww = _wave_width(width)
+    w_idx = jnp.arange(Ww, dtype=jnp.int32)
+    SENT = jnp.int8(-128)
+
+    d_arr = jnp.arange(1, D + 1, dtype=jnp.int32)
+    doffs, s1, s2 = _wave_geometry(mi, ni, max_m, max_n, D, Ww)
+
+    i_g = doffs[:, None] + w_idx[None, :]
+    j_g = d_arr[:, None] - i_g
+    qb = qi[jnp.clip(i_g - 1, 0, max_m - 1)]
+    rb = ri[jnp.clip(j_g - 1, 0, max_n - 1)]
+    subst = jnp.where((qb == rb) & (qb < 4) & (rb < 4),
+                      jnp.int8(match), jnp.int8(mismatch))
+    subst = jnp.where((i_g >= 1) & (j_g >= 1), subst, SENT)
+    return subst, doffs, s1, s2
+
+
+@functools.partial(jax.jit, static_argnames=('max_m', 'width', 'match', 'mismatch',
+                                             'o1', 'o2', 'e1', 'e2'))
+def _align_batch_wave(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2):
+    """Anti-diagonal (wavefront) banded DP — the accelerator band kernel.
+
+    Returns (tb [B, D, Ww] uint8, doffs [B, D] int32) with D = max_m + max_n:
+    diagonal d = k+1 is stored at row k, holding cells (i, j) with i + j = d,
+    i = doffs[k] + lane. Traceback byte layout is identical to _align_batch.
+
+    Why wavefront: the row-banded scan needs per-step dynamic window shifts
+    (up to ceil(n/m) lanes) and a prefix-max F-scan — measured 47 Mcells/s on
+    the (8192, 8192, 513) class, 85 us/step at best after fusing the shifts
+    into one dynamic roll. On anti-diagonals every dependency sits on the
+    previous two diagonals at relative offset {-1, 0, +1}: window shifts
+    become selects between two STATIC shifts (the window advances 0 or 1
+    lanes per diagonal because m <= n), and the horizontal gap state F turns
+    into an ordinary cross-step recurrence from the carried Htilde — no scan.
+    The step body is purely elementwise; all gathers (band-aligned bases)
+    happen once, outside the scan.
+    """
+    B, max_n = r.shape
+    D = max_m + max_n
+    Ww = _wave_width(width)
+    w_idx = jnp.arange(Ww, dtype=jnp.int32)
+    SENT = jnp.int8(-128)   # diag-invalid sentinel in the int8 subst rows
+
+    def gapc(k):
+        return jnp.minimum(o1 + k * e1, o2 + k * e2).astype(jnp.int32)
+
+    def one(qi, ri, mi, ni):
+        d_arr = jnp.arange(1, D + 1, dtype=jnp.int32)
+        subst, doffs, s1, s2 = _wave_precompute(
+            qi, ri, mi, ni, max_m, max_n, width, match, mismatch)
+
+        NEGv = jnp.full((1,), NEG, dtype=jnp.int32)
+
+        def shift_sel(a, t):
+            """out[w] = a[w + t] for scalar t in {-1, 0, 1}; OOB -> NEG."""
+            left = jnp.concatenate([a[1:], NEGv])
+            right = jnp.concatenate([NEGv, a[:-1]])
+            return jnp.where(t == 1, left, jnp.where(t == 0, a, right))
+
+        def step(carry, x):
+            h_p, ht_p, h_pp, e1_p, e2_p, f1_p, f2_p = carry
+            subst8, d, doff, t1, t2 = x
+            i_vec = doff + w_idx
+            j_vec = d - i_vec
+            valid = (i_vec <= mi) & (j_vec >= 0) & (j_vec <= ni)
+
+            h_up = shift_sel(h_p, t1 - 1)     # H(i-1, j)   on d-1
+            e1_up = shift_sel(e1_p, t1 - 1)
+            e2_up = shift_sel(e2_p, t1 - 1)
+            ht_lf = shift_sel(ht_p, t1)       # Htilde(i, j-1) on d-1
+            f1_lf = shift_sel(f1_p, t1)
+            f2_lf = shift_sel(f2_p, t1)
+            h_dg = shift_sel(h_pp, t2 - 1)    # H(i-1, j-1) on d-2
+
+            # Vertical (query-consuming, 'I') gap states.
+            e1_open = h_up - (o1 + e1)
+            e1_ext = e1_up - e1
+            e1_new = jnp.maximum(e1_open, e1_ext)
+            bit_e1_ext = e1_ext > e1_open
+
+            e2_open = h_up - (o2 + e2)
+            e2_ext = e2_up - e2
+            e2_new = jnp.maximum(e2_open, e2_ext)
+            bit_e2_ext = e2_ext > e2_open
+
+            e_best = jnp.maximum(e1_new, e2_new)
+            bit_e_piece2 = e2_new > e1_new
+
+            # Horizontal (ref-consuming, 'D') gaps: direct recurrence from
+            # Htilde — open wins ties, matching the prefix-max scan's
+            # opened_at_prev semantics in _align_batch/_align_batch_full.
+            f1_open_v = ht_lf - (o1 + e1)
+            f1_ext_v = f1_lf - e1
+            f1_new = jnp.maximum(f1_open_v, f1_ext_v)
+            bit_f1_open = f1_open_v >= f1_ext_v
+
+            f2_open_v = ht_lf - (o2 + e2)
+            f2_ext_v = f2_lf - e2
+            f2_new = jnp.maximum(f2_open_v, f2_ext_v)
+            bit_f2_open = f2_open_v >= f2_ext_v
+
+            f_best = jnp.maximum(f1_new, f2_new)
+            bit_f_piece2 = f2_new > f1_new
+
+            diag = jnp.where(subst8 == SENT, NEG,
+                             h_dg + subst8.astype(jnp.int32))
+            htilde = jnp.maximum(diag, e_best)
+            bit_ht_e = e_best > diag
+
+            h_new = jnp.maximum(htilde, f_best)
+            bit_h_f = f_best > htilde
+
+            # Row 0 is analytic (H[0][j] = -gapcost(j)) exactly like the row
+            # kernel's init row; column 0 flows through E naturally.
+            h_new = jnp.where(i_vec == 0,
+                              jnp.where(j_vec == 0, 0, -gapc(j_vec)), h_new)
+
+            h_new = jnp.where(valid, h_new, NEG)
+            htilde = jnp.where(valid, htilde, NEG)
+            e1_new = jnp.where(valid, e1_new, NEG)
+            e2_new = jnp.where(valid, e2_new, NEG)
+            f1_new = jnp.where(valid, f1_new, NEG)
+            f2_new = jnp.where(valid, f2_new, NEG)
+
+            tb = (bit_ht_e.astype(jnp.uint8)
+                  | (bit_h_f.astype(jnp.uint8) << 1)
+                  | (bit_e_piece2.astype(jnp.uint8) << 2)
+                  | (bit_f_piece2.astype(jnp.uint8) << 3)
+                  | (bit_e1_ext.astype(jnp.uint8) << 4)
+                  | (bit_e2_ext.astype(jnp.uint8) << 5)
+                  | (bit_f1_open.astype(jnp.uint8) << 6)
+                  | (bit_f2_open.astype(jnp.uint8) << 7))
+
+            return (h_new, htilde, h_p, e1_new, e2_new, f1_new, f2_new), tb
+
+        # Diagonal 0 window (anchored at i=0): lane 0 = cell (0,0), H = 0.
+        h0 = jnp.where(w_idx == 0, 0, NEG)
+        negs = jnp.full((Ww,), NEG, dtype=jnp.int32)
+        (_, _, _, _, _, _, _), tb = jax.lax.scan(
+            step, (h0, h0, negs, negs, negs, negs, negs),
+            (subst, d_arr, doffs, s1, s2))
+        return tb, doffs
+
+    tb, doffs = jax.vmap(one)(q, r, m, n)
+    return tb, doffs
 
 
 # Step codes emitted by the device traceback (host maps to CIGAR ops).
@@ -426,18 +636,24 @@ _load_pallas_bad()
 
 
 def _pallas_backend_kind():
-    """Select the DP backend for full-width classes: 'pallas' (compiled,
-    DEFAULT on accelerators — hardware-validated bit-identical to the XLA
-    kernel and faster per launch), 'pallas-interp' (CPU interpreter, tests),
-    or 'xla'. PAV_TPU_PALLAS=0 opts out; =1 forces it on CPU (interpreter).
-    A Mosaic compile failure falls back to the XLA kernel per shape (see
-    _launch_with_fallback)."""
+    """Select the DP backend kind: 'pallas' (accelerator default — pallas for
+    full-width classes, wavefront XLA kernel for banded classes), 'pallas-row'
+    (PAV_TPU_WAVE=0: pallas full-width, row-banded kernel), 'pallas-interp'
+    (CPU pallas interpreter, tests), 'xla-wave' (PAV_TPU_WAVE=1 on CPU: tests
+    the wavefront kernel without hardware), or 'xla'. PAV_TPU_PALLAS=0 opts
+    out of pallas; =1 forces the interpreter on CPU. A Mosaic compile failure
+    falls back to the XLA kernel per shape (see _launch_with_fallback)."""
     env = os.environ.get('PAV_TPU_PALLAS')
-    if env == '0':
-        return 'xla'
+    wave_env = os.environ.get('PAV_TPU_WAVE')
     if jax.default_backend() == 'cpu':
-        return 'pallas-interp' if env == '1' else 'xla'
-    return 'pallas'
+        if wave_env == '1':
+            return 'xla-wave'
+        if env == '1':
+            return 'pallas-interp'
+        return 'xla'
+    if env == '0':
+        return 'xla-wave' if wave_env != '0' else 'xla'
+    return 'pallas-row' if wave_env == '0' else 'pallas'
 
 
 _PALLAS_RETRY_LOCK = threading.Lock()
@@ -448,12 +664,14 @@ def _launch_with_fallback(fn, *args, backend_kind, shape_key=None):
     tunneled Mosaic compile service 500s on some (shape, batch) programs and
     transiently on others), retry serially with backoff, then fall back to
     the XLA kernel for THAT shape only — other shapes keep the pallas path."""
-    if backend_kind == 'pallas' and shape_key in _PALLAS_BAD:
-        backend_kind = 'xla'
+    if backend_kind.startswith('pallas') and shape_key in _PALLAS_BAD:
+        # Banded classes never touch Mosaic — keep the wave kernel for them
+        # even when this (B, m, w) key failed as a full-width pallas program.
+        backend_kind = 'xla-wave' if backend_kind == 'pallas' else 'xla'
     try:
         return fn(*args, backend_kind=backend_kind)
     except Exception:
-        if backend_kind != 'pallas':
+        if backend_kind not in ('pallas', 'pallas-row'):
             raise
     with _PALLAS_RETRY_LOCK:
         last = None
@@ -489,6 +707,8 @@ def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1,
     band-exit error flag per element. The [B, max_m, width] traceback tensor
     never crosses the host boundary (critical on bandwidth-limited links)."""
     from . import pallas_dp
+    wave = (width < r.shape[1] + 1
+            and backend_kind in ('pallas', 'xla-wave'))
     if (backend_kind.startswith('pallas') and width == r.shape[1] + 1
             and (backend_kind == 'pallas-interp'
                  or pallas_dp.feasible_block(q.shape[0], max_m, width))):
@@ -500,25 +720,49 @@ def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1,
         # the gather-free specialized scan.
         _, tb, offs = _align_batch_full(q, r, m, n, max_m, width,
                                         match, mismatch, o1, o2, e1, e2)
+    elif wave:
+        # Accelerator band kernel: anti-diagonal layout, see _align_batch_wave.
+        # The pallas variant runs the whole diagonal loop inside one Mosaic
+        # program (XLA scan steps cost ~50-200us each on this target); the
+        # XLA scan is the interpreter-free fallback with identical geometry.
+        wBB = (backend_kind == 'pallas'
+               and pallas_dp.wave_feasible_block(
+                   q.shape[0], max_m + r.shape[1], _wave_width(width)))
+        if wBB:
+            tb, offs = pallas_dp.pallas_align_wave(
+                q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2)
+        else:
+            tb, offs = _align_batch_wave(q, r, m, n, max_m, width,
+                                         match, mismatch, o1, o2, e1, e2)
     else:
         _, tb, offs = _align_batch(q, r, m, n, max_m, width,
                                    match, mismatch, o1, o2, e1, e2)
 
     L = ((max_m + r.shape[1] + 3) // 4) * 4  # multiple of 4 for 2-bit packing
+    w_dim = _wave_width(width) if wave else width
 
     def one(tb_i, offs_i, q_i, r_i, m_i, n_i):
-        # state: 0=H, 1=E, 2=F; piece in {0,1}
-        def body(t, carry):
-            i, j, st, piece, steps, err = carry
+        # state: 0=H, 1=E, 2=F; piece in {0,1}. Codes are emitted as scan ys:
+        # a steps.at[t].set() accumulator lowers to a per-step dynamic-update
+        # that cost 10x the whole walk (measured 1.08s -> 0.107s at B=64).
+        def body(carry, _):
+            i, j, st, piece, err = carry
             done = (i <= 0) & (j <= 0)
 
             # Row/column edges: pure gaps.
             at_top = (i <= 0) & (j > 0)
             at_left = (j <= 0) & (i > 0)
 
-            w = j - offs_i[jnp.maximum(i - 1, 0)]
-            in_band = (w >= 0) & (w < width)
-            byte = tb_i[jnp.maximum(i - 1, 0), jnp.clip(w, 0, width - 1)].astype(jnp.int32)
+            if wave:
+                # Diagonal-major tape: cell (i, j) lives on diagonal d = i+j
+                # (stored at row d-1), lane i - doffs[d-1].
+                row = jnp.maximum(i + j - 1, 0)
+                w = i - offs_i[row]
+            else:
+                row = jnp.maximum(i - 1, 0)
+                w = j - offs_i[row]
+            in_band = (w >= 0) & (w < w_dim)
+            byte = tb_i[row, jnp.clip(w, 0, w_dim - 1)].astype(jnp.int32)
 
             # Resolve the action for this step.
             h_f = (byte & 2) != 0
@@ -557,16 +801,15 @@ def _align_and_trace_impl(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1,
             err = err | (~done & ~at_top & ~at_left & (st == 0) & ~in_band & (act == 0))
             err = err | (~done & ~at_top & ~at_left & ~in_band)
 
-            steps = steps.at[t].set(code)
             i = jnp.where(done, i, i - di)
             j = jnp.where(done, j, j - dj)
             st = jnp.where(done, st, new_st)
-            return (i, j, st, new_piece, steps, err)
+            return (i, j, st, new_piece, err), code
 
         init = (m_i.astype(jnp.int32), n_i.astype(jnp.int32),
-                jnp.int32(0), jnp.int32(0),
-                jnp.full((L,), STEP_DONE, dtype=jnp.uint8), jnp.bool_(False))
-        i, j, st, piece, steps, err = jax.lax.fori_loop(0, L, body, init)
+                jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+        (i, j, st, piece, err), steps = jax.lax.scan(
+            body, init, None, length=L, unroll=4)
         err = err | (i > 0) | (j > 0)
 
         # 2-bit pack the tape (codes 0-3; DONE positions zeroed, length kept

@@ -29,6 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 29)  # plain int: pallas kernels cannot capture array constants
 
@@ -192,3 +193,242 @@ def pallas_align_full(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
 
     offs = jnp.zeros((B, max_m), dtype=jnp.int32)
     return jnp.transpose(tb, (1, 0, 2)), offs
+
+
+# ---------------------------------------------------------------- wavefront
+
+# VMEM for one wave grid step: tb block (DBLK x BB x Ww u8) + 9 state tiles
+# (BB x Ww i32) + ~20 step temporaries + 5 small streamed blocks.
+_WAVE_VMEM_BUDGET = 9 << 20
+
+
+def wave_feasible_block(B, D, Ww):
+    """(BB, DBLK) for the wave grid, or None. The batch axis rides whole
+    (BB = B: non-final Mosaic blocks would need a 128-multiple batch dim;
+    banded-class batch caps are pow2 <= 128); DBLK divides D and is sized so
+    the tb block + state tiles + step temporaries fit VMEM."""
+    from .affine_dp import _wave_dblk
+    if Ww % 128 or B % 8 or B > 256:
+        return None
+    dblk = _wave_dblk(D)
+    while dblk > 4 and (dblk * B * (Ww + 5 * 4)
+                        + 32 * B * Ww * 4) > _WAVE_VMEM_BUDGET:
+        dblk //= 2
+    if dblk >= 4 and D % dblk == 0:
+        return B, dblk
+    return None
+
+
+def _wave_kernel(qwin0_ref, newq_ref, newr_ref, s1_ref, s2_ref, doff_ref,
+                 m_ref, n_ref, tb_ref,
+                 h_sc, ht_sc, hpp_sc, e1_sc, e2_sc, f1_sc, f2_sc,
+                 qw_sc, rw_sc,
+                 *, dblk, ww, match, mismatch, o1, o2, e1, e2):
+    """One (batch-block, diagonal-chunk) grid step of the wavefront DP.
+
+    State tiles live in VMEM scratch and persist across the sequential
+    diagonal-chunk grid axis (TPU grids execute in order). The band-aligned
+    sequence windows qw/rw slide with the band: the window advances 0 or 1
+    lanes per diagonal, so each step inserts at most ONE precomputed base per
+    item (newq/newr streams) instead of gathering [D, Ww] substitution rows —
+    the XLA-side gather was 200x the kernel's own runtime. Bit layout and
+    tie-break semantics match affine_dp._align_batch_wave exactly; see the
+    recurrence derivation there.
+    """
+    BB = m_ref.shape[0]
+    k = pl.program_id(1)
+    w = jax.lax.broadcasted_iota(jnp.int32, (BB, ww), 1)
+    mi = m_ref[:].reshape(BB, 1)
+    ni = n_ref[:].reshape(BB, 1)
+
+    @pl.when(k == 0)
+    def _init():
+        zero_at0 = jnp.where(w == 0, 0, NEG).astype(jnp.int32)
+        negs = jnp.full((BB, ww), NEG, dtype=jnp.int32)
+        h_sc[:, :] = zero_at0      # diagonal-0 window: lane 0 = cell (0,0)
+        ht_sc[:, :] = zero_at0
+        hpp_sc[:, :] = negs
+        e1_sc[:, :] = negs
+        e2_sc[:, :] = negs
+        f1_sc[:, :] = negs
+        f2_sc[:, :] = negs
+        qw_sc[:, :] = qwin0_ref[:, :]   # q[w-1] at diagonal 0 (4 at lane 0)
+        rw_sc[:, :] = jnp.full((BB, ww), 4, dtype=jnp.int32)
+
+    def shl(a):   # out[w] = a[w+1] (lane left-shift), OOB -> NEG
+        return jnp.where(w < ww - 1, jnp.roll(a, -1, axis=1), NEG)
+
+    def shr(a):   # out[w] = a[w-1]
+        return jnp.where(w >= 1, jnp.roll(a, 1, axis=1), NEG)
+
+    def step(t, carry):
+        h_p, ht_p, h_pp, e1_p, e2_p, f1_p, f2_p, qw, rw = carry
+        d = k * dblk + t + 1
+        t1 = s1_ref[t, :].reshape(BB, 1)               # {0, 1}
+        t2 = s2_ref[t, :].reshape(BB, 1)               # {0, 1, 2}
+        doff = doff_ref[t, :].reshape(BB, 1)
+        nq = newq_ref[t, :].reshape(BB, 1)
+        nr = newr_ref[t, :].reshape(BB, 1)
+        i_vec = doff + w
+        j_vec = d - i_vec
+        valid = (i_vec <= mi) & (j_vec >= 0) & (j_vec <= ni)
+
+        one_t1 = t1 == 1
+        # Slide the sequence windows: qw[w] = q[doff(d)+w-1] moves with the
+        # band (s1=1 -> shift left, insert at the top lane); rw[w] =
+        # r[d-doff(d)-w-1] moves when the band does NOT (s1=0 -> shift
+        # right, insert at lane 0).
+        qw = jnp.where(one_t1,
+                       jnp.where(w == ww - 1, nq, jnp.roll(qw, -1, axis=1)),
+                       qw)
+        rw = jnp.where(one_t1, rw,
+                       jnp.where(w == 0, nr, jnp.roll(rw, 1, axis=1)))
+
+        subst = jnp.where((qw == rw) & (qw < 4) & (rw < 4), match, mismatch)
+
+        h_up = jnp.where(one_t1, h_p, shr(h_p))        # a[w + t1 - 1]
+        e1_up = jnp.where(one_t1, e1_p, shr(e1_p))
+        e2_up = jnp.where(one_t1, e2_p, shr(e2_p))
+        ht_lf = jnp.where(one_t1, shl(ht_p), ht_p)     # a[w + t1]
+        f1_lf = jnp.where(one_t1, shl(f1_p), f1_p)
+        f2_lf = jnp.where(one_t1, shl(f2_p), f2_p)
+        h_dg = jnp.where(t2 == 2, shl(h_pp),           # a[w + t2 - 1]
+                         jnp.where(t2 == 1, h_pp, shr(h_pp)))
+
+        e1_open = h_up - (o1 + e1)
+        e1_ext = e1_up - e1
+        e1_new = jnp.maximum(e1_open, e1_ext)
+        bit_e1_ext = e1_ext > e1_open
+
+        e2_open = h_up - (o2 + e2)
+        e2_ext = e2_up - e2
+        e2_new = jnp.maximum(e2_open, e2_ext)
+        bit_e2_ext = e2_ext > e2_open
+
+        e_best = jnp.maximum(e1_new, e2_new)
+        bit_e_piece2 = e2_new > e1_new
+
+        f1_open_v = ht_lf - (o1 + e1)
+        f1_ext_v = f1_lf - e1
+        f1_new = jnp.maximum(f1_open_v, f1_ext_v)
+        bit_f1_open = f1_open_v >= f1_ext_v
+
+        f2_open_v = ht_lf - (o2 + e2)
+        f2_ext_v = f2_lf - e2
+        f2_new = jnp.maximum(f2_open_v, f2_ext_v)
+        bit_f2_open = f2_open_v >= f2_ext_v
+
+        f_best = jnp.maximum(f1_new, f2_new)
+        bit_f_piece2 = f2_new > f1_new
+
+        diag = jnp.where((i_vec >= 1) & (j_vec >= 1), h_dg + subst, NEG)
+        htilde = jnp.maximum(diag, e_best)
+        bit_ht_e = e_best > diag
+
+        h_new = jnp.maximum(htilde, f_best)
+        bit_h_f = f_best > htilde
+
+        # Analytic row 0: H[0][j] = -gapcost(j).
+        gap_j = -jnp.minimum(o1 + j_vec * e1, o2 + j_vec * e2)
+        h_new = jnp.where(i_vec == 0,
+                          jnp.where(j_vec == 0, 0, gap_j), h_new)
+
+        h_new = jnp.where(valid, h_new, NEG)
+        htilde = jnp.where(valid, htilde, NEG)
+        e1_new = jnp.where(valid, e1_new, NEG)
+        e2_new = jnp.where(valid, e2_new, NEG)
+        f1_new = jnp.where(valid, f1_new, NEG)
+        f2_new = jnp.where(valid, f2_new, NEG)
+
+        # Constant-multiply packing (no vector shifts on this target).
+        tb32 = (bit_ht_e.astype(jnp.int32)
+                + bit_h_f.astype(jnp.int32) * 2
+                + bit_e_piece2.astype(jnp.int32) * 4
+                + bit_f_piece2.astype(jnp.int32) * 8
+                + bit_e1_ext.astype(jnp.int32) * 16
+                + bit_e2_ext.astype(jnp.int32) * 32
+                + bit_f1_open.astype(jnp.int32) * 64
+                + bit_f2_open.astype(jnp.int32) * 128)
+        tb_ref[t, :, :] = tb32.astype(jnp.uint8)
+
+        return (h_new, htilde, h_p, e1_new, e2_new, f1_new, f2_new, qw, rw)
+
+    carry = (h_sc[:, :], ht_sc[:, :], hpp_sc[:, :], e1_sc[:, :],
+             e2_sc[:, :], f1_sc[:, :], f2_sc[:, :], qw_sc[:, :], rw_sc[:, :])
+    h_p, ht_p, h_pp, e1_p, e2_p, f1_p, f2_p, qw, rw = jax.lax.fori_loop(
+        0, dblk, step, carry)
+    h_sc[:, :] = h_p
+    ht_sc[:, :] = ht_p
+    hpp_sc[:, :] = h_pp
+    e1_sc[:, :] = e1_p
+    e2_sc[:, :] = e2_p
+    f1_sc[:, :] = f1_p
+    f2_sc[:, :] = f2_p
+    qw_sc[:, :] = qw
+    rw_sc[:, :] = rw
+
+
+@functools.partial(jax.jit, static_argnames=('max_m', 'width', 'match', 'mismatch',
+                                             'o1', 'o2', 'e1', 'e2', 'interpret'))
+def pallas_align_wave(q, r, m, n, max_m, width, match, mismatch, o1, o2, e1, e2,
+                      interpret=False):
+    """Banded wavefront DP, whole diagonal loop inside one Pallas program.
+
+    Same outputs as affine_dp._align_batch_wave: (tb [B, D, Ww] uint8,
+    doffs [B, D] int32). The XLA wave kernel pays ~50-200 us of loop-step
+    overhead per diagonal (measured: 2.8-3.4 s for the (8192, 8192, 513)
+    class); in-kernel steps cost vector-op issue time only.
+    """
+    from .affine_dp import _wave_geometry, _wave_width
+
+    B = q.shape[0]
+    max_n = r.shape[1]
+    D = max_m + max_n
+    Ww = _wave_width(width)
+
+    blk = (B, min(256, D)) if interpret else wave_feasible_block(B, D, Ww)
+    if blk is None:
+        raise ValueError(f'no feasible pallas wave block for B={B} D={D} '
+                         f'Ww={Ww}; caller must gate on wave_feasible_block')
+    BB, DBLK = blk
+
+    def pre(qi, ri, mi, ni):
+        doffs, s1, s2 = _wave_geometry(mi, ni, max_m, max_n, D, Ww)
+        # Sliding-window feeds: one fresh base per diagonal per side.
+        d_arr = jnp.arange(1, D + 1, dtype=jnp.int32)
+        newq = qi[jnp.clip(doffs + Ww - 2, 0, max_m - 1)].astype(jnp.int32)
+        newr = ri[jnp.clip(d_arr - doffs - 1, 0, max_n - 1)].astype(jnp.int32)
+        # Window at diagonal 0 (doff = 0): qwin0[w] = q[w-1], sentinel lane 0.
+        w_i = jnp.arange(Ww, dtype=jnp.int32)
+        qwin0 = jnp.where(
+            w_i == 0, 4,
+            qi[jnp.clip(w_i - 1, 0, max_m - 1)].astype(jnp.int32))
+        return qwin0, newq, newr, s1, s2, doffs
+
+    qwin0, newq, newr, s1, s2, doffs = jax.vmap(pre)(q, r, m, n)
+
+    kernel = functools.partial(
+        _wave_kernel, dblk=DBLK, ww=Ww, match=match, mismatch=mismatch,
+        o1=o1, o2=o2, e1=e1, e2=e2)
+
+    tb = pl.pallas_call(
+        kernel,
+        grid=(B // BB, D // DBLK),
+        in_specs=[
+            pl.BlockSpec((BB, Ww), lambda b, k: (b, 0)),
+            pl.BlockSpec((DBLK, BB), lambda b, k: (k, b)),
+            pl.BlockSpec((DBLK, BB), lambda b, k: (k, b)),
+            pl.BlockSpec((DBLK, BB), lambda b, k: (k, b)),
+            pl.BlockSpec((DBLK, BB), lambda b, k: (k, b)),
+            pl.BlockSpec((DBLK, BB), lambda b, k: (k, b)),
+            pl.BlockSpec((BB, 1), lambda b, k: (b, 0)),
+            pl.BlockSpec((BB, 1), lambda b, k: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((DBLK, BB, Ww), lambda b, k: (k, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((D, B, Ww), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((BB, Ww), jnp.int32)] * 9,
+        interpret=interpret,
+    )(qwin0, newq.T, newr.T, s1.T, s2.T, doffs.T,
+      m.reshape(B, 1), n.reshape(B, 1))
+
+    return jnp.transpose(tb, (1, 0, 2)), doffs

@@ -160,8 +160,11 @@ _DP_SHAPES_ACCEL = sorted(
     key=lambda s: s[0][0] * s[0][1])
 _DP_SHAPES_ACCEL += [((m_b, 8192), 8193) for m_b in (16, 32, 64, 128, 256, 512)]
 _DP_SHAPES_ACCEL += [
-    ((1024, 8192), 2048),      # banded: past the full-width cell cap
-    ((8192, 8192), 512),       # balanced mid-size, banded
+    # Banded classes (past the full-width cell cap): the pallas wavefront
+    # kernel (ops/pallas_dp.pallas_align_wave).
+    ((1024, 8192), 2048),
+    ((2048, 8192), 2048),
+    ((8192, 8192), 512),       # balanced mid-size, diagonal-hugging band
     ((8192, 8192), 2048),      # end extensions (compiles at width 2049)
 ]
 
@@ -209,7 +212,7 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
             items = [(0, max(m_b // 2, 1), 0, 64, max(n_b // 2, 1), 0)]
             # Each shape runs at three batch sizes: the cap and the pow4-down
             # quantized variants part-full classes launch (core.batch_pad).
-            cap = _shape_batch(m_b, width_b)
+            cap = _shape_batch(m_b, width_b, n_b)
             # Batch quantization is pow2-down (core.batch_pad); prime the cap
             # and two common part-full variants. Unprimed fills compile once
             # inline and persist in the cache.
@@ -248,8 +251,14 @@ def prime_kernels(sizes=('small', 'medium', 'large'),
 
         def pallas_eligible(launch):
             (m_b, n_b), width_b = launch
-            if width_b != n_b + 1:
-                return False
+            if width_b < n_b + 1:
+                # Banded: the pallas wavefront kernel (Mosaic compile).
+                from .ops.affine_dp import _next_pow2, _wave_width
+                w_eff = min(_next_pow2(width_b) + 1, n_b + 1)
+                cap = _sb(m_b, w_eff, n_b)
+                return any(_pd.wave_feasible_block(
+                               b, m_b + n_b, _wave_width(w_eff))
+                           for b in {cap, max(cap // 2, 8), max(cap // 8, 8)})
             cap = _sb(m_b, width_b)
             return any(_pd.feasible_block(b, m_b, width_b)
                        for b in {cap, max(cap // 2, 8), max(cap // 8, 8)})

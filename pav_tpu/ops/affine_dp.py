@@ -39,9 +39,13 @@ NEG = jnp.int32(-(1 << 29))
 STATS = {'launches': 0, 'items': 0, 'h2d_bytes': 0, 'd2h_bytes': 0,
          'resolve_s': 0.0, 'dispatch_s': 0.0, 'prefetch_s': 0.0,
          # Mesh accounting (multi-chip scaling evidence): number of
-         # device_puts that were sharded over a mesh, mesh size, and the
-         # per-device batch rows of the most recent sharded put.
+         # device_puts that were sharded over a mesh, mesh size, the
+         # per-device batch rows of the most recent sharded put, and the
+         # ACCUMULATED padded DP cells assigned to each device across every
+         # sharded launch — the measured work-balance record (max/min of
+         # shard_cells is the empirical balance ratio).
          'sharded_puts': 0, 'mesh_devices': 0, 'shard_rows': (),
+         'shard_cells': (),
          # (max_m, max_n, width, B_pad) ->
          #   [launches, resolve_s, items, cells_pad, cells_real]
          # cells_pad  = B_pad*max_m*width per launch (what the program scans)
@@ -51,7 +55,8 @@ STATS = {'launches': 0, 'items': 0, 'h2d_bytes': 0, 'd2h_bytes': 0,
 
 def stats_reset():
     for k in STATS:
-        STATS[k] = ({} if k == 'classes' else () if k == 'shard_rows'
+        STATS[k] = ({} if k == 'classes'
+                    else () if k in ('shard_rows', 'shard_cells')
                     else (0.0 if k.endswith('_s') else 0))
 
 DEFAULT_SCORING = {
@@ -859,6 +864,19 @@ class BandedAligner:
             return out
         return a
 
+    @staticmethod
+    def _note_shard_cells(prev_puts, max_m, width):
+        """Accumulate per-device padded DP cells for a just-sharded launch —
+        the measured mesh work-balance record (see STATS['shard_cells'])."""
+        if STATS['sharded_puts'] <= prev_puts:
+            return
+        rows = STATS['shard_rows']
+        cur = STATS['shard_cells']
+        if len(cur) != len(rows):
+            cur = (0,) * len(rows)
+        STATS['shard_cells'] = tuple(
+            c + r * max_m * width for c, r in zip(cur, rows))
+
     def align_batch(self, pairs, width, pad_to=None):
         """Align a list of (q_codes, r_codes) with one bucket shape.
 
@@ -913,6 +931,7 @@ class BandedAligner:
 
         import time as _time
         _t0 = _time.time()
+        prev_puts = STATS['sharded_puts']
         # Sequences cross to the device 2-bit packed (+ ambiguity bitmap) on
         # accelerators; the CPU backend skips the pack/unpack round trip.
         if jax.default_backend() != 'cpu':
@@ -946,6 +965,7 @@ class BandedAligner:
                                if jax.default_backend() != 'cpu'
                                else B_pad * (max_m + max_n))
         STATS['dispatch_s'] += _time.time() - _t0
+        self._note_shard_cells(prev_puts, max_m, int(width))
 
         cells_real = int(np.sum(m.astype(np.int64)
                                 * np.minimum(n + 1, int(width))))
@@ -980,6 +1000,7 @@ class BandedAligner:
 
         import time as _time
         _t0 = _time.time()
+        prev_puts = STATS['sharded_puts']
         fused = _launch_with_fallback(
             _align_and_trace_resident,
             resident, self._put(arr),
@@ -993,6 +1014,7 @@ class BandedAligner:
         STATS['items'] += B
         STATS['h2d_bytes'] += arr.nbytes
         STATS['dispatch_s'] += _time.time() - _t0
+        self._note_shard_cells(prev_puts, max_m, int(width))
         cells_real = int(np.sum(
             arr[:B, 1].astype(np.int64)
             * np.minimum(arr[:B, 4].astype(np.int64) + 1, int(width))))

@@ -194,3 +194,11 @@ def test_dp_work_splits_across_shards(tmp_path):
     assert len(rows) == 8
     assert max(rows) - min(rows) <= 1   # balanced split
     assert sum(rows) >= 8
+    # Measured work balance across the WHOLE run (VERDICT r4 next #8):
+    # accumulated padded DP cells per device across every sharded launch.
+    cells = st['shard_cells']
+    assert len(cells) == 8 and min(cells) > 0
+    ratio = max(cells) / min(cells)
+    print(f'[mesh-balance] per-shard DP cells: {cells} '
+          f'(max/min = {ratio:.3f})')
+    assert ratio <= 1.5, f'unbalanced mesh work: {cells}'

@@ -186,3 +186,69 @@ def test_cohort_keep_going_dead_member(tmp_path):
         positions = {int(ln.split('\t')[1])
                      for ln in gzip.open(vcf, 'rt') if not ln.startswith('#')}
         assert pos in positions, f'{sample}: planted SNV {pos} not called'
+
+
+@pytest.mark.slow
+def test_cohort_throughput_two_processes(tmp_path):
+    """Measured samples/hour at 1 vs 2 cohort processes (VERDICT r4 next #9).
+
+    Four identical samples; wall time of a 1-process cohort vs a 2-process
+    cohort on the same host. On this 4-core machine each pipeline already
+    fans out ~4 worker threads, so the expected 2-process speedup is bounded
+    well below 2x by core oversubscription — the measured ratio is recorded
+    (printed + docs/SCALING.md) as the honest shared-host datapoint; on real
+    multi-host deployments each process owns its cores. The assertion only
+    guards against cohort overhead making 2 processes SLOWER."""
+    import time
+
+    rng = np.random.default_rng(33)
+    ref = random_seq(120000, rng)
+
+    (tmp_path / 'ref.fa').write_text('>chr1\n' + seqcodec.decode(ref) + '\n')
+    rows = ['NAME\tHAP_h1\tHAP_h2']
+    for si in range(4):
+        for hi in (1, 2):
+            r = np.random.default_rng(100 * si + hi)
+            mut = Mutator(ref)
+            mut.snv(4000 + 1000 * si, rng=r)
+            mut.dele(60000, 150)
+            (tmp_path / f's{si}h{hi}.fa').write_text(
+                f'>tig{si}{hi}\n' + seqcodec.decode(mut.finish()) + '\n')
+        rows.append(f'Samp{si}\ts{si}h1.fa\ts{si}h2.fa')
+    (tmp_path / 'asm.tsv').write_text('\n'.join(rows) + '\n')
+
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PYTHONPATH'] = ROOT
+    env.pop('XLA_FLAGS', None)
+
+    def run_cohort(n_procs, tag):
+        port = _free_port()
+        procs = []
+        for pid in range(n_procs):
+            args = [sys.executable, '-m', 'pav_tpu',
+                    '--ref', 'ref.fa', '--assemblies', 'asm.tsv',
+                    '--run-dir', f'run_{tag}_{pid}',
+                    '--set', 'aligner_min_chain_score=500']
+            if n_procs > 1:
+                args += ['--coordinator', f'localhost:{port}',
+                         '--num-processes', str(n_procs),
+                         '--process-id', str(pid)]
+            procs.append(subprocess.Popen(
+                args, cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        t0 = time.time()
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            assert p.returncode == 0, f'rc={p.returncode}\n{out}\n{err}'
+        return time.time() - t0
+
+    # Warm pass compiles kernel caches so both timed runs see a warm cache.
+    run_cohort(1, 'warm')
+    t1 = run_cohort(1, 'p1')
+    t2 = run_cohort(2, 'p2')
+    ratio = t1 / t2
+    print(f'[cohort-throughput] 4 samples: 1 process {t1:.1f}s, '
+          f'2 processes {t2:.1f}s -> speedup {ratio:.2f}x')
+    assert ratio > 0.8, (
+        f'2-process cohort slower than 1-process beyond tolerance: {ratio:.2f}x')

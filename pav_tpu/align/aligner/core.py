@@ -653,27 +653,64 @@ class Aligner:
                 mism_all = (oq != ref[gr]) | (oq >= 4)
                 # reduceat keeps the operand dtype — bool would saturate at 1
                 counts_e = (np.add.reduceat(mism_all.astype(np.int32), offs[:-1])
-                            if total else [])
-                for j, sel in enumerate(eq_sel):
-                    hints[int(sel)] = (int(counts_e[j]),
-                                       mism_all[offs[j]:offs[j + 1]])
+                            if total else np.zeros(0, np.int32))
+                # Mismatch POSITIONS, globally once: per-boundary nonzero
+                # calls were ~3-5 us each x one-per-variant at chromosome
+                # scale. rel_nz holds boundary-relative positions; cum splits
+                # them per boundary.
+                nz = np.flatnonzero(mism_all)
+                rel_nz = rel[nz].tolist() if len(nz) else []
+                cum = np.zeros(len(eq_sel) + 1, dtype=np.int64)
+                np.cumsum(counts_e, out=cum[1:])
+                cum_l = cum.tolist()
+                lens_l = lens_e.tolist()
+                counts_l = counts_e.tolist()
+                for j, sel in enumerate(eq_sel.tolist()):
+                    hints[sel] = (counts_l[j],
+                                  rel_nz[cum_l[j]:cum_l[j + 1]], lens_l[j])
+
+            # Plain-int views: the loop below runs once per VARIANT at
+            # chromosome scale (~300k iterations per 100 Mbp hap); numpy
+            # scalar extraction + int() casts were ~30% of planning wall.
+            bq0_l = bq0.tolist()
+            bq1_l = bq1.tolist()
+            br1_l = br1.tolist()
+            bcut_l = bcut.tolist()
+            bsq0_l = bsq0.tolist()
+            bsr0_l = bsr0.tolist()
+            qpos_l = qpos.tolist()
+            b_idx_l = b_idx.tolist()
+            direct_cap = None
 
             seg_start = 0  # anchor index where the current exact run started
-            for pos_i, bi in enumerate(b_idx):
-                q0 = int(bq0[pos_i])
-                q1, r1 = int(bq1[pos_i]), int(br1[pos_i])
-                cut = int(bcut[pos_i])
-                run_len = k + (q0 - int(qpos[seg_start])) - cut
+            for pos_i, bi in enumerate(b_idx_l):
+                q0 = bq0_l[pos_i]
+                q1, r1 = bq1_l[pos_i], br1_l[pos_i]
+                run_len = k + (q0 - qpos_l[seg_start]) - bcut_l[pos_i]
                 if run_len > 0:
                     parts.append(('cig', [[run_len, cg.EQ]]))
-                seg_q0 = int(bsq0[pos_i])
-                seg_r0 = int(bsr0[pos_i])
+                seg_q0 = bsq0_l[pos_i]
+                seg_r0 = bsr0_l[pos_i]
+                hint = hints.get(pos_i)
+                if hint is not None:
+                    # Inline _add_segment's equal-length fast path (the
+                    # overwhelmingly common case: SNVs / small substitution
+                    # runs) — no slices, descriptors, numpy, or call
+                    # overhead: mismatch positions are plain ints from the
+                    # one global pass above.
+                    n_mism, pos_list, lq = hint
+                    if direct_cap is None:
+                        direct_cap = _DIRECT_MISMATCH_FRAC
+                    if n_mism <= max(2, direct_cap * lq):
+                        parts.append(('cig', _runs_from_positions(lq, pos_list)))
+                        seg_start = bi + 1
+                        continue
                 self._add_segment(oriented[seg_q0:q1], ref[seg_r0:r1], parts, segments,
                                   qd=_sub_desc(qd0, seg_q0, q1),
                                   rd=_sub_desc(rd0, seg_r0, r1),
-                                  mism_hint=hints.get(pos_i))
+                                  mism_hint=hint)
                 seg_start = bi + 1
-            run_len = k + (int(qpos[-1]) - int(qpos[seg_start]))
+            run_len = k + (qpos_l[-1] - qpos_l[seg_start])
             parts.append(('cig', [[run_len, cg.EQ]]))
 
         return {
@@ -690,9 +727,9 @@ class Aligner:
                      mism_hint=None):
         """Register one inter-anchor gap; fast paths avoid DP when possible.
 
-        :param mism_hint: optional (n_mism, mism bool view) precomputed by
-            the caller's batched pass over all boundaries (one gather +
-            reduceat instead of three numpy calls per tiny segment).
+        :param mism_hint: optional (n_mism, mismatch position list, length)
+            precomputed by the caller's batched pass over all boundaries
+            (one gather + reduceat + flatnonzero for the whole chain).
         """
         lq, lr = len(sq), len(sr)
         if lq == 0 and lr == 0:
@@ -705,12 +742,14 @@ class Aligner:
             return
         if lq == lr:
             if mism_hint is not None:
-                n_mism, mism = mism_hint
+                n_mism = mism_hint[0]
             else:
                 mism = (sq != sr) | (sq >= 4)
                 n_mism = int(np.count_nonzero(mism))
             if n_mism <= max(2, _DIRECT_MISMATCH_FRAC * lq):
-                parts.append(('cig', _compare_runs_list(mism)))
+                parts.append(('cig', _runs_from_positions(lq, mism_hint[1])
+                              if mism_hint is not None
+                              else _compare_runs_list(mism)))
                 return
             if lq >= _BREAK_MIN_LEN and n_mism >= _BREAK_MISMATCH_FRAC * lq:
                 # Effectively unalignable (Z-drop analog): break the record here.
@@ -1381,6 +1420,24 @@ def _coalesce_spans(spans):
         else:
             out.append([lo, hi])
     return [(lo, hi) for lo, hi in out]
+
+
+def _runs_from_positions(n, pos_list):
+    """Equal-length direct comparison -> =/X run list from plain-int
+    mismatch positions (zero numpy work; see _plan_chain's batched pass)."""
+    runs = []
+    prev = 0
+    for i in pos_list:
+        if i > prev:
+            runs.append([i - prev, cg.EQ])
+        if runs and runs[-1][1] == cg.X:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, cg.X])
+        prev = i + 1
+    if n > prev:
+        runs.append([n - prev, cg.EQ])
+    return runs
 
 
 def _compare_runs_list(mism):

@@ -632,7 +632,7 @@ def _save_pallas_bad():
     try:
         os.makedirs(os.path.dirname(_pallas_bad_path()), exist_ok=True)
         with open(_pallas_bad_path(), 'w') as fh:
-            json.dump(sorted(_PALLAS_BAD), fh)
+            json.dump(sorted(_PALLAS_BAD, key=repr), fh)
     except Exception:
         pass
 
@@ -669,7 +669,9 @@ def _launch_with_fallback(fn, *args, backend_kind, shape_key=None):
     tunneled Mosaic compile service 500s on some (shape, batch) programs and
     transiently on others), retry serially with backoff, then fall back to
     the XLA kernel for THAT shape only — other shapes keep the pallas path."""
-    if backend_kind.startswith('pallas') and shape_key in _PALLAS_BAD:
+    if backend_kind.startswith('pallas') and shape_key is not None and (
+            shape_key in _PALLAS_BAD
+            or ('*',) + tuple(shape_key[1:]) in _PALLAS_BAD):
         # Banded classes never touch Mosaic — keep the wave kernel for them
         # even when this (B, m, w) key failed as a full-width pallas program.
         backend_kind = 'xla-wave' if backend_kind == 'pallas' else 'xla'
@@ -688,6 +690,15 @@ def _launch_with_fallback(fn, *args, backend_kind, shape_key=None):
                 import time as _time
                 _time.sleep(3 * (attempt + 1))   # transient helper 500s clear
         _PALLAS_BAD.add(shape_key)
+        # The observed deterministic failures are (max_m, width)-keyed, not
+        # batch-keyed (widths 129/257 with max_m >= 32 fail at EVERY batch
+        # size on this target): once the same (m, w) fails at two distinct
+        # batch sizes, wildcard it so later batch variants skip the ~20s
+        # retry + fallback dance entirely.
+        if shape_key is not None and sum(
+                1 for s in _PALLAS_BAD
+                if s[0] != '*' and tuple(s[1:]) == tuple(shape_key[1:])) >= 2:
+            _PALLAS_BAD.add(('*',) + tuple(shape_key[1:]))
         # Persist only deterministic compile/lowering failures; transient
         # device errors (OOM, link wedge) degrade this process only, so the
         # shape is re-validated on the next run.

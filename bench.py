@@ -472,7 +472,20 @@ def start_wedge_watchdog(threshold_s=None):
             if not state['armed']:
                 runtime.mark_progress()   # don't count disarmed time as idle
                 continue
-            idle = time.time() - runtime.last_progress()
+            # A wedge manifests as a BLOCKED device->host read: long
+            # stretches with no transfers at all are legitimate host work
+            # (chromosome-scale planning runs minutes device-free; observed
+            # false-positive re-exec loops at 500 Mbp without this guard).
+            # A hung in-process compile has no blocked read, so a much longer
+            # no-progress-anywhere backstop still catches it (pipeline stage
+            # boundaries heartbeat mark_progress).
+            t0 = runtime.fetch_blocked_since()
+            if t0 is not None:
+                idle = time.time() - t0
+            else:
+                idle = time.time() - runtime.last_progress()
+                if idle <= 6 * threshold_s:
+                    continue
             if idle <= threshold_s:
                 continue
             retry = int(os.environ.get('PAV_BENCH_WEDGE_RETRY', 0))

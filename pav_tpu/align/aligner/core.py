@@ -1317,16 +1317,23 @@ _GUARD = 1 << 16
 @functools.partial(jax.jit, static_argnames=('pad',))
 def _unpack_resident(packed, n_idx, total, pad):
     """Expand a 2-bit-packed resident upload to the int8 code buffer the
-    gather kernels index. packed: uint8 [pad//4] (4 bases/byte, LSB-first);
+    gather kernels index. packed: uint8 [pad//4], byte j holding bases
+    {j, j+Q, j+2Q, j+3Q} for Q = pad//4 (quarter-plane order — the unpack is
+    then a concat of shifted 1-D arrays; the previous interleaved order
+    needed a [pad//4, 4] intermediate whose 4-wide lane dim tiles to 128 on
+    TPU, a 32x memory blowup that OOMed the chip past ~500 Mbp of sources);
     n_idx: int32 [K] positions of ambiguous bases (packed as code 0, fixed
     up here; padding entries point at the guard region); total: int32 scalar
     marking the end of real data (a 4-filled guard block lands there)."""
     import jax.numpy as jnp
     from jax import lax
 
-    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
-    un = ((packed[:, None] >> shifts[None, :]) & jnp.uint8(3)) \
-        .astype(jnp.int8).reshape(-1)
+    un = jnp.concatenate([
+        (packed & jnp.uint8(3)),
+        ((packed >> jnp.uint8(2)) & jnp.uint8(3)),
+        ((packed >> jnp.uint8(4)) & jnp.uint8(3)),
+        ((packed >> jnp.uint8(6)) & jnp.uint8(3)),
+    ]).astype(jnp.int8)
     guard = jnp.full((_GUARD,), 4, dtype=jnp.int8)
     start = jnp.minimum(total, pad - _GUARD).astype(jnp.int32)
     un = lax.dynamic_update_slice(un, guard, (start,))
@@ -1378,14 +1385,19 @@ def _build_resident_from(arrays, mesh=None):
     n_idx_pad = np.full(k_pad, pad - 1, dtype=np.int32)  # guard index: already 4
     n_idx_pad[:len(n_idx)] = n_idx
 
-    # 2-bit pack the defined prefix (stale arena bytes beyond it are never
-    # read after the device-side guard fill).
-    np4 = (min(total + _GUARD, pad) + 3) // 4
-    packed = _acquire_pack_buf(pad >> 2, dtype=np.uint8)
+    # 2-bit pack in quarter-plane order (byte j = bases {j, j+Q, j+2Q,
+    # j+3Q}): contiguous host reads, and the device unpack is a concat of
+    # shifted 1-D arrays with no small-lane intermediate (see
+    # _unpack_resident). Stale arena bytes beyond the defined prefix pack to
+    # harmless 0-3 codes that are never read after the device-side guard
+    # fill.
+    Q = pad >> 2
+    packed = _acquire_pack_buf(Q, dtype=np.uint8)
     v = buf.view(np.uint8)
-    end = np4 * 4
-    packed[:np4] = ((v[0:end:4] & 3) | ((v[1:end:4] & 3) << 2)
-                    | ((v[2:end:4] & 3) << 4) | ((v[3:end:4] & 3) << 6))
+    packed[:] = v[0:Q] & 3
+    packed |= (v[Q:2 * Q] & 3) << 2
+    packed |= (v[2 * Q:3 * Q] & 3) << 4
+    packed |= (v[3 * Q:4 * Q] & 3) << 6
     ALIGN_STATS['res_pack_s'] += _time.time() - _t0
     _t0 = _time.time()
     parr = jnp.asarray(packed)    # async upload; overlaps chain planning

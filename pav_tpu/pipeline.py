@@ -126,6 +126,10 @@ class Pipeline:
             t0 = _time.time()
             yield
             self.timings[(label, stage)] = round(_time.time() - t0, 3)
+            # Heartbeat for link-wedge watchdogs: stage completions prove the
+            # process is advancing even through long device-free host phases.
+            from .runtime import mark_progress
+            mark_progress()
         return cm()
 
     def run_haplotype(self, qry_store, hap, config=None, label=None,

@@ -16,7 +16,12 @@ TRANSFER_LOCK = threading.Lock()
 # indefinitely on a single read (observed: calibration succeeds, then the
 # next process's first read never returns); watchdogs poll last_progress()
 # to detect a wedged link and restart with a fresh client connection.
-_PROGRESS = {'t': None}
+# _PROGRESS['fetch_t0'] is the start time of the blocking read currently in
+# flight (None when no reader is blocked): a wedge can ONLY manifest as a
+# blocked read, so watchdogs must ignore long no-transfer stretches of pure
+# host work (chromosome-scale planning runs minutes without touching the
+# device — observed false-positive re-exec loops at 500 Mbp).
+_PROGRESS = {'t': None, 'fetch_t0': None}
 
 
 def mark_progress():
@@ -31,8 +36,15 @@ def last_progress():
     return _PROGRESS['t']
 
 
+def fetch_blocked_since():
+    """Start time of the currently-blocked device->host read, or None."""
+    return _PROGRESS['fetch_t0']
+
+
 def fetch(arr):
     """np.asarray(device_array) with the accelerator transfer lock held."""
+    import time
+
     import jax
 
     if jax.default_backend() == 'cpu':
@@ -40,7 +52,11 @@ def fetch(arr):
         mark_progress()
         return out
     with TRANSFER_LOCK:
-        out = np.asarray(arr)
+        _PROGRESS['fetch_t0'] = time.time()
+        try:
+            out = np.asarray(arr)
+        finally:
+            _PROGRESS['fetch_t0'] = None
     mark_progress()
     return out
 

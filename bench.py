@@ -49,6 +49,16 @@ def build_genome(ref_len, seed):
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tests'))
     from helpers import Mutator, random_seq
 
+    # Deterministic in (ref_len, seed): cache across the wedge-watchdog's
+    # re-execs — at 500 Mbp synthesis costs ~2 min, which made every link
+    # wedge a multi-minute restart.
+    cache = f'/tmp/pav_bench_genome_{seed}_{ref_len}.npz'
+    try:
+        with np.load(cache) as z:
+            return z['ref'], z['h1'], z['h2'], None, None
+    except Exception:
+        pass
+
     rng = np.random.default_rng(seed)
     ref = random_seq(ref_len, rng)
 
@@ -83,6 +93,10 @@ def build_genome(ref_len, seed):
 
     h1, t1 = make_hap(seed + 1, with_inv=False)
     h2, t2 = make_hap(seed + 2, with_inv=True)
+    try:
+        np.savez(cache, ref=ref, h1=h1, h2=h2)
+    except Exception:
+        pass
     return ref, h1, h2, t1, t2
 
 
@@ -466,6 +480,29 @@ def start_wedge_watchdog(threshold_s=None):
     state = {'armed': True}
     runtime.mark_progress()
 
+    def ping_loop():
+        # Keepalive: the tunneled link wedges on the first read after
+        # minutes of device idle (observed repeatedly at chromosome scale,
+        # where host planning runs device-free for minutes). A tiny periodic
+        # round trip keeps the connection hot. Runs in its OWN thread: if
+        # the ping itself wedges, it blocks HERE and the monitor thread's
+        # blocked-read branch catches it (runtime.fetch publishes the
+        # in-flight read's start time process-wide).
+        import jax.numpy as jnp
+        arr = None
+        while True:
+            time.sleep(20)
+            if not state['armed']:
+                continue
+            if (runtime.fetch_blocked_since() is None
+                    and time.time() - runtime.last_progress() > 25):
+                try:
+                    if arr is None:
+                        arr = jnp.zeros(8, jnp.int32)
+                    runtime.fetch(arr + 1)
+                except Exception:
+                    pass
+
     def loop():
         while True:
             time.sleep(10)
@@ -497,7 +534,9 @@ def start_wedge_watchdog(threshold_s=None):
             # one more cycle plus a full CPU run, go straight to CPU — a
             # recorded 12x beats an rc=124 (measured: a wedge-prone session
             # burned 4 x 240s and timed out before the CPU fallback).
-            cpu_now = retry >= 2 or budget_left() < threshold_s + 420
+            # Restarts are cheap now (genome + compile caches persist), so
+            # retries are budget-driven with a generous cap.
+            cpu_now = retry >= 5 or budget_left() < threshold_s + 420
             if cpu_now:
                 env['JAX_PLATFORMS'] = 'cpu'
             sys.stderr.write(
@@ -511,6 +550,7 @@ def start_wedge_watchdog(threshold_s=None):
                       [sys.executable, os.path.abspath(__file__)], env)
 
     threading.Thread(target=loop, daemon=True).start()
+    threading.Thread(target=ping_loop, daemon=True).start()
     return state
 
 

@@ -88,13 +88,19 @@ def retain_heap(warm_bytes=0):
     if ok and warm_bytes > 0:
         # Fault pages from several threads: the host's page-supply path is
         # ~9 MB/s single-threaded but scales ~2.5x with parallel faulting.
+        # Chunked with progress heartbeats: a multi-GB prefault runs many
+        # minutes on a cold VM, and wedge watchdogs must not mistake it for
+        # a hung process.
         import threading
         buf = np.empty(int(warm_bytes), dtype=np.uint8)
         n_th = 8
         step = (len(buf) + n_th - 1) // n_th
+        chunk = 256 << 20
 
         def touch(lo):
-            buf[lo:lo + step:4096] = 1
+            for c0 in range(lo, lo + step, chunk):
+                buf[c0:min(c0 + chunk, lo + step):4096] = 1
+                mark_progress()
 
         threads = [threading.Thread(target=touch, args=(i * step,))
                    for i in range(n_th)]

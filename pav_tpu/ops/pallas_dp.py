@@ -210,11 +210,16 @@ def wave_feasible_block(B, D, Ww):
     from .affine_dp import _wave_dblk
     if Ww % 128 or B % 8 or B > 256:
         return None
+    # The state-tile + step-temporary term is dblk-independent: if it alone
+    # busts the budget, no dblk makes the kernel fit.
+    fixed = 32 * B * Ww * 4
+    if fixed > _WAVE_VMEM_BUDGET:
+        return None
     dblk = _wave_dblk(D)
-    while dblk > 4 and (dblk * B * (Ww + 5 * 4)
-                        + 32 * B * Ww * 4) > _WAVE_VMEM_BUDGET:
+    while dblk > 4 and dblk * B * (Ww + 5 * 4) + fixed > _WAVE_VMEM_BUDGET:
         dblk //= 2
-    if dblk >= 4 and D % dblk == 0:
+    if (dblk >= 4 and D % dblk == 0
+            and dblk * B * (Ww + 5 * 4) + fixed <= _WAVE_VMEM_BUDGET):
         return B, dblk
     return None
 
